@@ -1,0 +1,58 @@
+"""Tests for the data-directory model (fix/validate/subset/split/combine)."""
+
+import numpy as np
+
+from pkr_tpu.io.datadir import DataDir
+
+
+def make_dir():
+    utt2spk = {f"spk{i}-utt{j}": f"spk{i}" for i in range(3) for j in range(4)}
+    wav = {u: f"/wav/{u}.wav" for u in utt2spk}
+    return DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()
+
+
+def test_spk2utt_regen():
+    d = make_dir()
+    assert d["spk2utt"]["spk0"] == "spk0-utt0 spk0-utt1 spk0-utt2 spk0-utt3"
+    assert d.validate() == []
+
+
+def test_fix_intersects():
+    d = make_dir()
+    del d.tables["wav.scp"]["spk1-utt2"]
+    assert d.validate() != []
+    fixed = d.fix()
+    assert fixed.validate() == []
+    assert "spk1-utt2" not in fixed["utt2spk"]
+    assert fixed.num_utts == 11
+
+
+def test_subset_split_combine():
+    d = make_dir()
+    sub = d.subset(5)
+    assert sub.num_utts == 5
+    shards = [d.split(3, i) for i in range(3)]
+    assert sum(s.num_utts for s in shards) == d.num_utts
+    assert set(DataDir.combine(shards).utts) == set(d.utts)
+
+
+def test_assign_spk_ids_and_cv_split():
+    d = make_dir()
+    d2, num_spk = d.assign_spk_ids()
+    assert num_spk == 3
+    ids = set(int(v) for v in d2["utt2spkid"].values())
+    assert ids == {0, 1, 2}
+    train, cv = d2.train_cv_split(0.25, seed=1)
+    assert train.num_utts + cv.num_utts == d.num_utts
+    assert cv.num_utts == 3
+    # deterministic
+    train2, cv2 = d2.train_cv_split(0.25, seed=1)
+    assert train.utts == train2.utts
+
+
+def test_filter_min_frames():
+    d = make_dir()
+    d.tables["utt2num_frames"] = {u: str(100 + 50 * i) for i, u in enumerate(d.utts)}
+    out = d.filter_min_frames(200)
+    assert all(int(d.tables["utt2num_frames"][u]) >= 200 for u in out.utts)
+    assert out.validate() == []

@@ -1,0 +1,164 @@
+"""Round-trip and format tests for the Kaldi ark/scp codecs, including the
+CompressedMatrix ('CM ') encoder/decoder pair.
+
+The reference has no tests (SURVEY.md §4); these define the contract. The CM
+decoder must agree with the reference decoder (kaldi_io.py:427-460) on
+arbitrary CM bytes, which we check by encoding with ours and decoding with a
+NumPy transcription of the dequantization rules.
+"""
+
+import io as _io
+import numpy as np
+import pytest
+
+from pkr_tpu.io import kaldi_ark as ka
+
+
+def test_vec_int_roundtrip(tmp_path):
+    v = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int32)
+    p = tmp_path / "v.ark"
+    ka.write_vec_int(str(p), v, key="utt1")
+    items = list(ka.read_vec_int_ark(str(p)))
+    assert len(items) == 1
+    key, got = items[0]
+    assert key == "utt1"
+    np.testing.assert_array_equal(got, v)
+
+
+def test_vec_flt_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    v32 = rng.standard_normal(17).astype(np.float32)
+    v64 = rng.standard_normal(5).astype(np.float64)
+    p = tmp_path / "v.ark"
+    with open(p, "wb") as f:
+        ka.write_vec_flt(f, v32, key="a")
+        ka.write_vec_flt(f, v64, key="b")
+    d = dict(ka.read_vec_flt_ark(str(p)))
+    np.testing.assert_array_equal(d["a"], v32)
+    np.testing.assert_array_equal(d["b"], v64)
+
+
+def test_mat_roundtrip_binary(tmp_path):
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((31, 40)).astype(np.float32)
+    p = tmp_path / "m.ark"
+    ka.write_mat(str(p), m, key="u1")
+    d = dict(ka.read_mat_ark(str(p)))
+    np.testing.assert_array_equal(d["u1"], m)
+
+
+def test_mat_ascii_read(tmp_path):
+    p = tmp_path / "m.txt"
+    with open(p, "wb") as f:
+        f.write(b"u1  [\n  1 2 3\n  4 5 6 ]\n")
+    fd = open(p, "rb")
+    key = ka.read_key(fd)
+    m = ka.read_mat(fd)
+    assert key == "u1"
+    np.testing.assert_array_equal(m, np.array([[1, 2, 3], [4, 5, 6]], np.float32))
+
+
+def test_compressed_roundtrip_error_bound():
+    """CM is lossy uint8 quantization; round-trip error must stay within the
+    per-column quantization step of the 3-piece linear map."""
+    rng = np.random.default_rng(2)
+    # realistic log-mel stats: per-column offsets, ~N(15, 3)
+    m = (rng.standard_normal((311, 40)) * 3 + 15 + np.arange(40) * 0.1).astype(np.float32)
+    blob = ka.compress_matrix(m)
+    got = ka.decompress_matrix(_io.BytesIO(blob[3:]), b"CM ")
+    assert got.shape == m.shape
+    # quantization steps differ per segment; bound by range/63 of each column
+    col_range = m.max(axis=0) - m.min(axis=0)
+    bound = col_range / 63.0 + 1e-3
+    err = np.abs(got - m).max(axis=0)
+    assert (err <= bound).all(), (err, bound)
+
+
+def test_compressed_matches_reference_decoder():
+    """Decode our CM bytes with an independent transcription of the reference
+    decoder's arithmetic (kaldi_io.py:444-460) and compare bit-for-bit."""
+    rng = np.random.default_rng(3)
+    m = (rng.standard_normal((57, 13)) * 2 + 5).astype(np.float32)
+    blob = ka.compress_matrix(m)
+
+    import struct as _struct
+
+    fd = _io.BytesIO(blob[3:])
+    gmin, grange, rows, cols = _struct.unpack("<ffii", fd.read(16))
+    headers = np.frombuffer(fd.read(8 * cols), dtype="<u2").reshape(cols, 4)
+    pct = np.float32(gmin) + np.float32(grange) * np.float32(1.52590218966964e-05) * headers.astype(np.float32)
+    data = np.frombuffer(fd.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
+    p0, p25, p75, p100 = (pct[:, i].reshape(-1, 1) for i in range(4))
+    mask_low = data <= 64
+    mask_high = data > 192
+    mask_mid = ~(mask_low | mask_high)
+    ref = np.zeros((cols, rows), np.float32)
+    ref += (p0 + (p25 - p0) / 64.0 * data) * mask_low
+    ref += (p25 + (p75 - p25) / 128.0 * (data - 64)) * mask_mid
+    ref += (p75 + (p100 - p75) / 63.0 * (data - 192)) * mask_high
+    ref = ref.T
+
+    ours = ka.decompress_matrix(_io.BytesIO(blob[3:]), b"CM ")
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
+
+
+def test_ark_scp_writer_random_access(tmp_path):
+    rng = np.random.default_rng(4)
+    mats = {f"utt{i}": rng.standard_normal((10 + i, 8)).astype(np.float32) for i in range(5)}
+    ark = tmp_path / "f.ark"
+    scp = tmp_path / "f.scp"
+    with ka.write_ark_scp(str(ark), str(scp)) as w:
+        for k, v in mats.items():
+            w.write(k, v)
+    # sequential ark read
+    d = dict(ka.read_mat_ark(str(ark)))
+    for k, v in mats.items():
+        np.testing.assert_array_equal(d[k], v)
+    # random access through scp offsets
+    for k, v in ka.read_mat_scp(str(scp)):
+        np.testing.assert_array_equal(v, mats[k])
+    # out-of-order single reads via rxspecifier
+    lines = dict(l.split(None, 1) for l in scp.read_text().strip().split("\n"))
+    got = ka.read_mat(lines["utt3"].strip())
+    np.testing.assert_array_equal(got, mats["utt3"])
+
+
+def test_compressed_ark_scp(tmp_path):
+    rng = np.random.default_rng(5)
+    m = (rng.standard_normal((211, 40)) + 10).astype(np.float32)
+    ark = tmp_path / "c.ark"
+    scp = tmp_path / "c.scp"
+    with ka.write_ark_scp(str(ark), str(scp), compress=True) as w:
+        w.write("u", m)
+    (k, got), = list(ka.read_mat_scp(str(scp)))
+    assert k == "u"
+    assert np.abs(got - m).max() < (m.max() - m.min()) / 50
+
+
+def test_text_vec_ark(tmp_path):
+    vecs = {"spk1-utt1": np.arange(4, dtype=np.float32), "x": np.array([1.5, -2.25], np.float32)}
+    p = tmp_path / "emb.txt"
+    ka.write_text_vec_ark(str(p), vecs)
+    got = ka.load_text_vec_ark(str(p))
+    assert set(got) == set(vecs)
+    for k in vecs:
+        np.testing.assert_allclose(got[k], vecs[k])
+
+
+def test_pipe_reader(tmp_path):
+    m = np.ones((3, 4), dtype=np.float32)
+    p = tmp_path / "m.ark"
+    ka.write_mat(str(p), m, key="u1")
+    d = dict(ka.read_mat_ark(f"cat {p} |"))
+    np.testing.assert_array_equal(d["u1"], m)
+
+
+def test_gzip_scp(tmp_path):
+    import gzip
+
+    p = tmp_path / "list.scp.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b"hello world\n")
+    fd = ka.open_or_fd(str(p))
+    assert fd.readline() == b"hello world\n"
+    fd.close()
