@@ -1,0 +1,148 @@
+"""Headline benchmark: wav → fbank → ResNet-34 embedding throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is BASELINE.json's north star: embeddings/sec/chip through the
+full on-device pipeline (framing → fused DFT-matmul fbank → VAD → sliding
+CMVN → voiced-frame selection → ResNet-34 → stats pooling → fc1) on
+synthetic 6-second utterances.  vs_baseline divides by the CPU reference
+throughput (the decode_cpu.py path: torch ResNet-34 forward on this host's
+CPU over the same workload), measured once and cached in BENCH_BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+SECONDS = 6.0
+RATE = 16000
+N_SAMPLES = int(SECONDS * RATE)
+BATCH = 32
+
+
+def make_wavs(batch: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(N_SAMPLES) / RATE
+    freqs = rng.uniform(80, 300, size=(batch, 1))
+    sig = 3000 * np.sin(2 * np.pi * freqs * t[None, :])
+    sig += 400 * rng.standard_normal((batch, N_SAMPLES))
+    return sig.astype(np.float32)
+
+
+def measure_tpu(batch: int = BATCH, iters: int = 8) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.frontend import FrontendConfig, wav_to_train_feats
+    from pkr_tpu.models import SpeakerModel
+
+    cfg = FrontendConfig()
+    model = SpeakerModel(spk_num=7325, feat_dim=40, pooling="mean+std",
+                         loss="AAM", trunk="resnet34")
+
+    wavs = jnp.asarray(make_wavs(batch))
+    lengths = jnp.full((batch,), N_SAMPLES, jnp.int32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 40, 200)), train=False)
+
+    @jax.jit
+    def wav_to_emb(wavs, lengths, rng):
+        feats, mask, _ = wav_to_train_feats(wavs, lengths, rng, cfg)
+        feats = jnp.transpose(feats, (0, 2, 1))  # (B, F, T)
+        return model.apply(variables, feats, mask, train=False,
+                           method=SpeakerModel.embed)
+
+    key = jax.random.key(1)
+    out = wav_to_emb(wavs, lengths, key)
+    out.block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = wav_to_emb(wavs, lengths, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_cpu_reference(batch: int = 2, iters: int = 2) -> float:
+    """Torch-CPU equivalent of the decode_cpu.py path: fbank (torch ops) +
+    ResNet-34 r-vector forward, single process on this host."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.b2 = nn.BatchNorm2d(cout)
+            self.down = (nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
+                                       nn.BatchNorm2d(cout))
+                         if (stride != 1 or cin != cout) else None)
+
+        def forward(self, x):
+            r = x if self.down is None else self.down(x)
+            y = torch.relu(self.b1(self.c1(x)))
+            y = self.b2(self.c2(y))
+            return torch.relu(y + r)
+
+    class R34(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [nn.Conv2d(1, 32, 3, 1, 1, bias=False), nn.BatchNorm2d(32),
+                      nn.ReLU()]
+            cin = 32
+            for c, n, s in [(32, 3, 1), (64, 4, 2), (128, 6, 2), (256, 3, 2)]:
+                for j in range(n):
+                    layers.append(Block(cin, c, s if j == 0 else 1))
+                    cin = c
+            self.body = nn.Sequential(*layers)
+            self.fc1 = nn.Linear(256 * 5 * 2, 256)
+
+        def forward(self, x):
+            f = self.body(x.unsqueeze(1))  # (B, 256, 5, T')
+            mean = f.mean(dim=3)
+            std = torch.sqrt(f.var(dim=3) + 1e-10)
+            flat = torch.cat([mean, std], dim=-1).flatten(1)
+            return self.fc1(flat)
+
+    model = R34().eval()
+    T = int(SECONDS * 100)  # ~100 fps fbank
+    x = torch.randn(batch, 40, T)
+    with torch.no_grad():
+        model(x[:1, :, :100])  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    quick = "--quick" in sys.argv
+    if os.path.exists(BASELINE_FILE):
+        baseline = json.load(open(BASELINE_FILE))["cpu_embeddings_per_sec"]
+    else:
+        baseline = measure_cpu_reference()
+        json.dump({"cpu_embeddings_per_sec": baseline,
+                   "note": "torch-CPU ResNet34 r-vector forward (decode_cpu.py "
+                           "path) on this host, 6s utterances"},
+                  open(BASELINE_FILE, "w"), indent=1)
+    value = measure_tpu(batch=8 if quick else BATCH, iters=2 if quick else 8)
+    print(json.dumps({
+        "metric": "wav→fbank→ResNet34 embedding throughput",
+        "value": round(value, 2),
+        "unit": "embeddings/sec/chip (6s utterances)",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

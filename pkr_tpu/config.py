@@ -1,0 +1,107 @@
+"""One typed configuration object for the whole stack.
+
+Replaces the reference's three config tiers — recipe shell variables
+(run_aam_v2.sh:26-43), parse_options.sh flag plumbing, and per-binary Kaldi
+conf files + python argparse (SURVEY §5 config) — with a single dataclass
+tree that serializes to/from JSON and maps 1:1 onto recipe stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from pkr_tpu.frontend.features import FbankConfig, MfccConfig
+from pkr_tpu.frontend.pipeline import FrontendConfig
+from pkr_tpu.frontend.vad import VadConfig
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    trunk: str = "resnet34"
+    pooling: str = "mean+std"
+    loss: str = "softmax"  # softmax | AAM | AAM-v1
+    feat_dim: int = 40
+    emb_dim: int = 256
+    margin: float = 0.2  # run_aam_v2.sh:32
+    scale: float = 30.0  # run_aam_v2.sh:33
+    spk_num: int = 0  # filled from num_spk
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 30
+    batch_size: int = 1024  # global (run_aam_v2.sh:34)
+    lr: float = 0.1
+    lr_final: float = 0.0
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    chunk_size: Tuple[int, ...] = (200,)  # fixed 200 (run_aam_v2.sh:71)
+    dataset: str = "v1"  # v1 balanced-repetition | v2 speaker-balanced
+    seed: int = 777
+    print_freq: int = 100
+    pretrained: Optional[str] = None
+    resume: bool = False
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    backend: str = "snorm"  # cosine | snorm | plda | pool
+    topk: int = 300  # cohort top-k (compute_topk_mean_std.py:10)
+    p_targets: Tuple[float, ...] = (0.01, 0.001)  # test.sh:68-69
+    batch_size: int = 8
+    chunk_size: int = -1
+    bucket_quantum: int = 100
+    max_len: int = 3000
+    lda_dim: int = 200  # run.sh:331
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    min_frames: int = 200  # feature_pre.sh:204
+    cv_fraction: float = 0.05
+    augment: bool = True
+    snr_noise: Tuple[int, ...] = (15, 10, 5, 0)  # run.sh:136-144
+    snr_music: Tuple[int, ...] = (15, 10, 8, 5)
+    snr_babble: Tuple[int, ...] = (20, 17, 15, 13)
+
+
+@dataclass(frozen=True)
+class Config:
+    exp_dir: str = "exp/default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+
+        def build(cls, d):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                        "model", "train", "eval", "data", "frontend",
+                        "fbank", "vad"):
+                    sub = {"model": ModelConfig, "train": TrainConfig,
+                           "eval": EvalConfig, "data": DataConfig,
+                           "frontend": FrontendConfig, "fbank": FbankConfig,
+                           "vad": VadConfig}[f.name]
+                    kw[f.name] = build(sub, v)
+                elif isinstance(v, list):
+                    kw[f.name] = tuple(v)
+                else:
+                    kw[f.name] = v
+            return cls(**kw)
+
+        return build(Config, raw)

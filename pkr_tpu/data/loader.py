@@ -1,0 +1,184 @@
+"""Host-side feature loading, chunking, batching and device prefetch.
+
+Replaces the reference DataLoader path (datasets.py + DataLoader workers +
+DistributedSampler, train_resnet.py:234-247): scp random access via
+pkr_tpu.io, seeded random crops, fixed-shape batches, and a one-deep
+background prefetch thread that overlaps ark reads with device compute.
+
+Layout note: batches are (B, F, T) float32 — feature rows transposed once at
+read time, the same orientation the reference datasets emit
+(datasets.py:68) — so the model's NHWC reshape is a free view.
+
+`EvalLoader` fixes the reference's fragile variable-length extraction
+(SURVEY §2.2 EmbeddingDataset caveat): utterances are grouped into
+length buckets (multiples of `bucket_quantum` frames), padded to the bucket
+length, and emitted with masks, so XLA compiles one program per bucket
+instead of relying on dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pkr_tpu.io import kaldi_ark
+
+
+class FeatureSource:
+    """Random-access feature reader over a feats.scp (rxspecifier per utt)."""
+
+    def __init__(self, scp_path: str):
+        self.utts: List[str] = []
+        self.rx: List[str] = []
+        for line in open(scp_path):
+            parts = line.strip().split(None, 1)
+            if parts:
+                self.utts.append(parts[0])
+                self.rx.append(parts[1])
+        self._cache: Optional[Dict[int, np.ndarray]] = None
+
+    def __len__(self):
+        return len(self.utts)
+
+    def cache_in_memory(self) -> None:
+        """Materialize all matrices (tiny corpora / benchmarks)."""
+        self._cache = {i: kaldi_ark.read_mat(r) for i, r in enumerate(self.rx)}
+
+    def read(self, i: int) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache[i]
+        return kaldi_ark.read_mat(self.rx[i])
+
+
+def _random_crop(mat: np.ndarray, seq_len: int, rng: np.random.Generator) -> np.ndarray:
+    """Random contiguous seq_len-frame crop (datasets.py:66-67); utterances
+    shorter than seq_len (excluded upstream by the ≥200-frame filter) are
+    tile-padded rather than crashing the step."""
+    n = len(mat)
+    if n < seq_len:
+        reps = -(-seq_len // n)
+        mat = np.tile(mat, (reps, 1))
+        n = len(mat)
+    pin = int(rng.integers(0, n - seq_len + 1))
+    return mat[pin:pin + seq_len]
+
+
+class TrainLoader:
+    """Iterator of (feats (B, F, T), labels (B)) numpy batches for one epoch.
+
+    Drops the trailing partial batch (static shapes).  chunk: int for a fixed
+    crop, or (min, max) for a per-epoch random crop size
+    (--min/max-chunk-size, datasets.py:41-43).
+    """
+
+    def __init__(self, source: FeatureSource, labels: Sequence[int], sampler,
+                 batch_size: int, chunk=200, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.source = source
+        self.labels = np.asarray(labels, np.int64)
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.chunk = chunk
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def _chunk_for_epoch(self, epoch: int) -> int:
+        if isinstance(self.chunk, int):
+            return self.chunk
+        lo, hi = min(self.chunk), max(self.chunk)
+        if lo == hi:
+            return lo
+        rng = np.random.default_rng((self.seed, epoch, 2))
+        return int(rng.integers(lo, hi + 1))
+
+    def batches_per_epoch(self) -> int:
+        per_host = len(self.sampler) // self.process_count
+        return per_host // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self.sampler.epoch_indices(epoch, self.seed,
+                                         self.process_index, self.process_count)
+        seq_len = self._chunk_for_epoch(epoch)
+        n_batches = len(idx) // self.batch_size
+        rng = np.random.default_rng((self.seed, epoch, 3, self.process_index))
+
+        def produce(q: "queue.Queue"):
+            try:
+                for b in range(n_batches):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    feats = np.stack([
+                        _random_crop(self.source.read(int(i)), seq_len, rng).T
+                        for i in sel]).astype(np.float32)
+                    q.put((feats, self.labels[sel]))
+            finally:
+                q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+def bucket_lengths(lengths: Sequence[int], quantum: int = 100,
+                   max_len: Optional[int] = None) -> np.ndarray:
+    """Round each length up to a multiple of `quantum` (and cap)."""
+    out = ((np.asarray(lengths) + quantum - 1) // quantum) * quantum
+    if max_len is not None:
+        out = np.minimum(out, max_len)
+    return out
+
+
+class EvalLoader:
+    """Length-bucketed, padded, masked batches for embedding extraction.
+
+    Yields (utt_keys, feats (B, F, Tb), mask (B, Tb)) with all items in a
+    batch sharing bucket length Tb.  Every utterance appears exactly once —
+    no DistributedSampler padding, no dedup pass.
+    """
+
+    def __init__(self, source: FeatureSource, batch_size: int = 8,
+                 quantum: int = 100, max_len: Optional[int] = 2000,
+                 chunk_size: int = -1,
+                 process_index: int = 0, process_count: int = 1):
+        self.source = source
+        self.batch_size = batch_size
+        self.quantum = quantum
+        self.max_len = max_len
+        self.chunk_size = chunk_size
+        self.my_ids = list(range(process_index, len(source), process_count))
+
+    def __iter__(self) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
+        # read lengths lazily: one pass grouping by bucket
+        buckets: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        for i in self.my_ids:
+            mat = self.source.read(i)
+            if self.chunk_size > 0:
+                mat = mat[: self.chunk_size]
+            L = int(bucket_lengths([len(mat)], self.quantum, self.max_len)[0])
+            buckets.setdefault(L, []).append((i, mat[: L]))
+            if len(buckets[L]) == self.batch_size:
+                yield self._emit(L, buckets.pop(L))
+        for L in sorted(buckets):
+            yield self._emit(L, buckets[L])
+
+    def _emit(self, L: int, items):
+        B = len(items)
+        F = items[0][1].shape[1]
+        feats = np.zeros((B, F, L), np.float32)
+        mask = np.zeros((B, L), bool)
+        keys = []
+        for b, (i, mat) in enumerate(items):
+            feats[b, :, : len(mat)] = mat.T
+            mask[b, : len(mat)] = True
+            keys.append(self.source.utts[i])
+        return keys, feats, mask

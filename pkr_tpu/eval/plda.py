@@ -1,0 +1,195 @@
+"""LDA + PLDA backend — native replacement for the Kaldi C++ ivector tools.
+
+Replaces the binaries on the reference's PLDA path (run.sh:323-351, test.sh:
+25-30; inventory SURVEY §2.6): ivector-mean, ivector-subtract-global-mean,
+ivector-normalize-length, ivector-compute-lda, ivector-compute-plda and
+ivector-plda-scoring.  Everything is closed-form / small-EM numpy — the
+embedding dim is 256 and speaker count ~7k, so this is host-side math; the
+O(trials) scoring is vectorized.
+
+Model: the two-covariance PLDA (Ioffe, "Probabilistic Linear Discriminant
+Analysis", the model Kaldi's plda.cc implements): x = μ + v + e with
+v ~ N(0, Φb) (speaker) and e ~ N(0, Φw) (channel).  After simultaneous
+diagonalization (Φw → I, Φb → diag ψ), the verification log-likelihood-ratio
+for an enrollment mean ū over n utterances and a test vector t is evaluated
+per dimension:
+
+  LLR = log N(t; nψ/(nψ+1)·ū, 1 + ψ/(nψ+1)) − log N(t; 0, 1 + ψ)
+
+Kaldi conventions preserved: length normalization scales to sqrt(dim) (not
+unit norm), LDA projects to dim 200 (run.sh:331), global-mean subtraction
+precedes everything.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def length_normalize(x: np.ndarray) -> np.ndarray:
+    """Scale rows to norm sqrt(dim) (ivector-normalize-length semantics)."""
+    x = np.asarray(x, np.float64)
+    dim = x.shape[-1]
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x * (np.sqrt(dim) / np.maximum(norms, 1e-12))
+
+
+@dataclass
+class LdaTransform:
+    matrix: np.ndarray  # (out_dim, in_dim)
+    mean: np.ndarray  # (in_dim,)
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, np.float64) - self.mean) @ self.matrix.T
+
+
+def compute_lda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
+                dim: int = 200, total_covariance_factor: float = 0.1
+                ) -> LdaTransform:
+    """Fisher LDA with within-class whitening (ivector-compute-lda behaviour:
+    the output basis whitens the within-class covariance — smoothed toward
+    the total covariance by `total_covariance_factor` — and sorts directions
+    by between-class spread)."""
+    keys = list(vecs)
+    X = np.stack([vecs[k] for k in keys]).astype(np.float64)
+    spk = [utt2spk[k] for k in keys]
+    mean = X.mean(axis=0)
+    Xc = X - mean
+
+    by_spk: Dict[str, List[int]] = {}
+    for i, s in enumerate(spk):
+        by_spk.setdefault(s, []).append(i)
+
+    d = X.shape[1]
+    Sb = np.zeros((d, d))
+    Sw = np.zeros((d, d))
+    for s, idx in by_spk.items():
+        xs = Xc[idx]
+        mu = xs.mean(axis=0)
+        Sb += len(idx) * np.outer(mu, mu)
+        r = xs - mu
+        Sw += r.T @ r
+    n = len(keys)
+    Sb /= n
+    Sw /= n
+    St = Xc.T @ Xc / n
+    W = ((1.0 - total_covariance_factor) * Sw
+         + total_covariance_factor * St)
+
+    # whiten W, then rotate to diagonalize B in the whitened space
+    evals, evecs = np.linalg.eigh(W)
+    evals = np.maximum(evals, 1e-10)
+    Wm12 = evecs @ np.diag(evals ** -0.5) @ evecs.T
+    Bw = Wm12 @ Sb @ Wm12.T
+    bvals, bvecs = np.linalg.eigh(Bw)
+    order = np.argsort(bvals)[::-1][:dim]
+    proj = bvecs[:, order].T @ Wm12  # (dim, d)
+    return LdaTransform(matrix=proj, mean=mean)
+
+
+@dataclass
+class PldaModel:
+    mean: np.ndarray  # (d,) training-set mean in input space
+    transform: np.ndarray  # (d, d): diagonalizing transform (rows)
+    psi: np.ndarray  # (d,) between-class variance in transformed space
+
+    def transform_vec(self, x: np.ndarray) -> np.ndarray:
+        """Center + rotate into the diagonalized space (within-covar = I)."""
+        return (np.asarray(x, np.float64) - self.mean) @ self.transform.T
+
+
+def train_plda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
+               n_iters: int = 10) -> PldaModel:
+    """EM for the two-covariance model (ivector-compute-plda).
+
+    E-step: posterior of each speaker's latent mean given its utterances;
+    M-step: re-estimate between/within covariances from the expected
+    sufficient statistics.
+    """
+    keys = list(vecs)
+    X = np.stack([vecs[k] for k in keys]).astype(np.float64)
+    spk = [utt2spk[k] for k in keys]
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    d = X.shape[1]
+
+    by_spk: Dict[str, np.ndarray] = {}
+    for i, s in enumerate(spk):
+        by_spk.setdefault(s, []).append(i)
+    groups = [np.asarray(idx) for idx in by_spk.values()]
+
+    # init: between = covar of speaker means, within = residual covar
+    mus = np.stack([Xc[g].mean(axis=0) for g in groups])
+    phi_b = mus.T @ mus / len(groups) + 1e-6 * np.eye(d)
+    resid = np.concatenate([Xc[g] - Xc[g].mean(axis=0) for g in groups])
+    phi_w = resid.T @ resid / max(len(resid), 1) + 1e-6 * np.eye(d)
+
+    for _ in range(n_iters):
+        b_stats = np.zeros((d, d))
+        w_stats = np.zeros((d, d))
+        n_total = 0
+        inv_w = np.linalg.inv(phi_w)
+        inv_b = np.linalg.inv(phi_b)
+        for g in groups:
+            n = len(g)
+            xs = Xc[g]
+            xbar = xs.mean(axis=0)
+            # posterior of v: precision = inv_b + n inv_w, mean = P^-1 n inv_w xbar
+            prec = inv_b + n * inv_w
+            cov_v = np.linalg.inv(prec)
+            mu_v = cov_v @ (n * (inv_w @ xbar))
+            b_stats += cov_v + np.outer(mu_v, mu_v)
+            # E[(x - v)(x - v)^T] summed over the group's utterances
+            r = xs - mu_v
+            w_stats += r.T @ r + n * cov_v
+            n_total += n
+        phi_b = b_stats / len(groups)
+        phi_w = w_stats / n_total
+        phi_b += 1e-10 * np.eye(d)
+        phi_w += 1e-10 * np.eye(d)
+
+    # simultaneous diagonalization: T Φw Tᵀ = I, T Φb Tᵀ = diag(ψ)
+    evals, evecs = np.linalg.eigh(phi_w)
+    evals = np.maximum(evals, 1e-10)
+    wm12 = evecs @ np.diag(evals ** -0.5) @ evecs.T
+    Bw = wm12 @ phi_b @ wm12.T
+    bvals, bvecs = np.linalg.eigh(Bw)
+    order = np.argsort(bvals)[::-1]
+    T = bvecs[:, order].T @ wm12
+    psi = np.maximum(bvals[order], 0.0)
+    return PldaModel(mean=mean, transform=T, psi=psi)
+
+
+def plda_scores(model: PldaModel, enroll: Dict[str, np.ndarray],
+                test: Dict[str, np.ndarray],
+                trials: Sequence[Tuple[str, str]],
+                enroll_counts: Optional[Dict[str, int]] = None) -> np.ndarray:
+    """Vectorized LLR scoring (ivector-plda-scoring), n-utterance enrollment
+    supported via enroll_counts (simple-length-norm=false default)."""
+    e_keys = list(enroll)
+    t_keys = list(test)
+    E = model.transform_vec(np.stack([enroll[k] for k in e_keys]))
+    Tv = model.transform_vec(np.stack([test[k] for k in t_keys]))
+    n = np.asarray([float((enroll_counts or {}).get(k, 1)) for k in e_keys])
+
+    psi = model.psi[None, :]  # (1, d)
+    nn = n[:, None]
+    # same-speaker branch: t ~ N(m_e, 1 + ψ/(nψ+1)), m_e = nψ/(nψ+1)·ū
+    m_e = nn * psi / (nn * psi + 1.0) * E  # (Ne, d)
+    v_same = 1.0 + psi / (nn * psi + 1.0)  # (Ne, d)
+    v_diff = 1.0 + psi  # (1, d)
+
+    e_idx = {k: i for i, k in enumerate(e_keys)}
+    t_idx = {k: i for i, k in enumerate(t_keys)}
+    rows = np.fromiter((e_idx[a] for a, _ in trials), np.int64, len(trials))
+    cols = np.fromiter((t_idx[b] for _, b in trials), np.int64, len(trials))
+
+    t_sel = Tv[cols]
+    m_sel = m_e[rows]
+    vs = v_same[rows]
+    ll_same = -0.5 * (np.log(2 * np.pi * vs) + (t_sel - m_sel) ** 2 / vs).sum(axis=1)
+    ll_diff = -0.5 * (np.log(2 * np.pi * v_diff) + t_sel ** 2 / v_diff).sum(axis=1)
+    return ll_same - ll_diff

@@ -1,0 +1,143 @@
+"""Trial scoring: centering, cosine, cohort S-norm statistics.
+
+Replaces the reference's per-trial python loops (SURVEY §3 flags
+cosine_score.py:60-66 as a hot loop — O(trials) python) with dense linear
+algebra: one normalized matmul produces every enroll×test cosine; trials are
+a gather.  Parity targets:
+- scripts/compute_mean.py:10-21 (global mean),
+- scripts/compute_speaker_mean.py / compute_mean_byspk.py (cohort & pooled
+  enrollment means),
+- scripts/cosine_score.py:37-69 (mean-subtracted cosine per trial),
+- scripts/compute_topk_mean_std.py:10-23 (center, L2-normalize, cosine vs
+  cohort, top-300 mean/std — std is torch's UNBIASED default),
+- scripts/adaptive_snorm.py:33-34 (s' = ((s-μe)/σe + (s-μt)/σt)/2 with
+  σ floored at 1e-8).
+
+All functions take/return numpy; the O(N·M·D) products run through jax (on
+TPU when available) above a size threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+_JAX_MIN_ELEMENTS = 1 << 22
+
+
+def _matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if a.shape[0] * b.shape[1] >= _JAX_MIN_ELEMENTS:
+        import jax.numpy as jnp
+
+        return np.asarray(jnp.dot(jnp.asarray(a), jnp.asarray(b),
+                                  preferred_element_type=jnp.float32))
+    return a @ b
+
+
+def global_mean(vecs: Dict[str, np.ndarray]) -> np.ndarray:
+    mat = np.stack(list(vecs.values())).astype(np.float32)
+    return mat.mean(axis=0)
+
+
+def speaker_means(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str]
+                  ) -> Dict[str, np.ndarray]:
+    groups: Dict[str, List[np.ndarray]] = {}
+    for utt, v in vecs.items():
+        groups.setdefault(utt2spk[utt], []).append(v)
+    return {s: np.mean(g, axis=0).astype(np.float32) for s, g in groups.items()}
+
+
+def pooled_speaker_means(vecs: Dict[str, np.ndarray],
+                         spk2utt: Dict[str, Sequence[str]]) -> Dict[str, np.ndarray]:
+    """Enrollment pooling via spk2utt lists (compute_mean_byspk.py:9-41)."""
+    out = {}
+    for spk, utts in spk2utt.items():
+        mats = [vecs[u] for u in utts if u in vecs]
+        if mats:
+            out[spk] = np.mean(mats, axis=0).astype(np.float32)
+    return out
+
+
+def _normalize_rows(mat: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, eps)
+
+
+def cosine_scores(enroll: Dict[str, np.ndarray], test: Dict[str, np.ndarray],
+                  trials: Sequence[Tuple[str, str]],
+                  mean: np.ndarray | None = None) -> np.ndarray:
+    """Scores for (enroll_key, test_key) trial pairs, mean-centered cosine.
+
+    Computes the full normalized enroll×test score matrix as one matmul and
+    gathers the trial entries (cosine_score.py did one
+    F.cosine_similarity per python-loop iteration)."""
+    e_keys = list(enroll)
+    t_keys = list(test)
+    e_idx = {k: i for i, k in enumerate(e_keys)}
+    t_idx = {k: i for i, k in enumerate(t_keys)}
+    e = np.stack([enroll[k] for k in e_keys]).astype(np.float32)
+    t = np.stack([test[k] for k in t_keys]).astype(np.float32)
+    if mean is not None:
+        e = e - mean
+        t = t - mean
+    scores = _matmul(_normalize_rows(e), _normalize_rows(t).T)
+    rows = np.fromiter((e_idx[a] for a, _ in trials), np.int64, len(trials))
+    cols = np.fromiter((t_idx[b] for _, b in trials), np.int64, len(trials))
+    return scores[rows, cols]
+
+
+def cohort_topk_stats(vecs: Dict[str, np.ndarray], cohort: np.ndarray,
+                      topk: int = 300, mean: np.ndarray | None = None
+                      ) -> Dict[str, Tuple[float, float]]:
+    """Per-key (mean, std) of the top-k cosines against the cohort matrix.
+
+    Centering by `mean` is applied to both sides; std is unbiased
+    (compute_topk_mean_std.py:19 uses torch.std_mean's default)."""
+    keys = list(vecs)
+    mat = np.stack([vecs[k] for k in keys]).astype(np.float32)
+    coh = cohort.astype(np.float32)
+    if mean is not None:
+        mat = mat - mean
+        coh = coh - mean
+    scores = _matmul(_normalize_rows(mat), _normalize_rows(coh).T)  # (N, C)
+    k = min(topk, scores.shape[1])
+    # top-k per row
+    part = np.partition(scores, scores.shape[1] - k, axis=1)[:, -k:]
+    mu = part.mean(axis=1)
+    sd = part.std(axis=1, ddof=1)
+    return {key: (float(mu[i]), float(sd[i])) for i, key in enumerate(keys)}
+
+
+def adaptive_snorm(scores: np.ndarray, trials: Sequence[Tuple[str, str]],
+                   enroll_stats: Dict[str, Tuple[float, float]],
+                   test_stats: Dict[str, Tuple[float, float]]) -> np.ndarray:
+    """Adaptive S-norm (adaptive_snorm.py:33-34)."""
+    mu_e = np.fromiter((enroll_stats[a][0] for a, _ in trials), np.float64, len(trials))
+    sd_e = np.fromiter((enroll_stats[a][1] for a, _ in trials), np.float64, len(trials))
+    mu_t = np.fromiter((test_stats[b][0] for _, b in trials), np.float64, len(trials))
+    sd_t = np.fromiter((test_stats[b][1] for _, b in trials), np.float64, len(trials))
+    s = np.asarray(scores, np.float64)
+    return ((s - mu_e) / np.maximum(sd_e, 1e-8) / 2
+            + (s - mu_t) / np.maximum(sd_t, 1e-8) / 2)
+
+
+def read_trials(path: str) -> Tuple[List[Tuple[str, str]], List[int]]:
+    """'<enroll> <test> target|nontarget' → (pairs, 0/1 labels)."""
+    pairs, labels = [], []
+    for line in open(path):
+        parts = line.split()
+        if not parts:
+            continue
+        a, b = parts[0], parts[1]
+        pairs.append((a, b))
+        if len(parts) > 2:
+            labels.append(1 if parts[2] == "target" else 0)
+    return pairs, labels
+
+
+def write_scores(path: str, trials: Sequence[Tuple[str, str]],
+                 scores: Sequence[float]) -> None:
+    with open(path, "w") as f:
+        for (a, b), s in zip(trials, scores):
+            f.write(f"{a} {b} {float(s)}\n")

@@ -1,0 +1,318 @@
+"""Stage-gated recipe driver.
+
+The Python CLI that replaces the reference's bash recipe stack
+(run.sh / run_aam_v2.sh / feature_pre.sh / test.sh — SURVEY §2.1): one
+process, numbered stages, a single typed Config, resumable at any stage via
+--stage / --stop-stage, artifacts laid out Kaldi-style under --exp-dir so the
+outputs remain interoperable (feats.scp/ark, vad.scp, utt2spkid, text
+embedding arks, score files, eer/minDCF files).
+
+Stages:
+  0  prepare data dir (expects wav.scp/utt2spk under --data-dir, e.g. from
+     pkr_tpu.recipes.voxceleb builders)
+  1  features: wav → fbank (+VAD +sliding CMVN +voiced-selection) →
+     compressed ark/scp          [replaces feature_pre.sh stages 1+4]
+  2  filter ≥min-frames, train/cv split, utt2spkid, num_spk
+                                  [feature_pre.sh stage 5]
+  3  train                        [run_aam_v2.sh stages 7-8]
+  4  extract embeddings           [run_aam_v2.sh stage 9 / decode.py]
+  5  backend stats: global mean, speaker means, cohort top-k
+                                  [run_aam_v2.sh stages 10-11]
+  6  score + EER/minDCF           [test.sh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _stage_range(args):
+    return range(args.stage, args.stop_stage + 1)
+
+
+def run_features(data_dir: str, out_dir: str, batch: int = 8,
+                 quantum_sec: float = 2.0, dither: float = 1.0,
+                 apply_vad: bool = True, seed: int = 0) -> None:
+    """Batched on-device feature extraction over a data dir's wav.scp."""
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.frontend import FrontendConfig, wav_to_train_feats
+    from pkr_tpu.frontend.features import FbankConfig, num_frames
+    from pkr_tpu.io import DataDir, write_ark_scp
+    from pkr_tpu.io.wav import read_wav
+
+    dd = DataDir.load(data_dir)
+    fb = FbankConfig(dither=dither)
+    cfg = FrontendConfig(fbank=fb)
+    key = jax.random.key(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # group utterances into duration buckets for static shapes
+    entries = sorted(dd["wav.scp"].items())
+    quantum = int(quantum_sec * fb.sample_frequency)
+
+    buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+    utt2nf = {}
+    with write_ark_scp(os.path.join(out_dir, "feats.ark"),
+                       os.path.join(out_dir, "feats.scp"), compress=True) as fw, \
+            write_ark_scp(os.path.join(out_dir, "vad.ark"),
+                          os.path.join(out_dir, "vad.scp")) as vw:
+
+        def flush(L, items):
+            nonlocal key
+            B = len(items)
+            wavs = np.zeros((B, L), np.float32)
+            lens = np.zeros((B,), np.int32)
+            for b, (utt, w) in enumerate(items):
+                wavs[b, : len(w)] = w
+                lens[b] = len(w)
+            key, sub = jax.random.split(key)
+            feats, mask, vad = wav_to_train_feats(
+                jnp.asarray(wavs), jnp.asarray(lens), sub, cfg,
+                apply_vad=apply_vad)
+            feats, mask, vad = map(np.asarray, (feats, mask, vad))
+            for b, (utt, w) in enumerate(items):
+                n = int(mask[b].sum())
+                fw.write(utt, feats[b, :n])
+                nf = int(num_frames(int(lens[b]), fb))
+                vw.write(utt, vad[b, :nf].astype(np.float32))
+                utt2nf[utt] = n
+
+        for utt, rx in entries:
+            wav, rate = read_wav(rx)
+            assert rate == fb.sample_frequency, (utt, rate)
+            L = int(np.ceil(max(len(wav), quantum) / quantum) * quantum)
+            buckets.setdefault(L, []).append((utt, wav))
+            if len(buckets[L]) == batch:
+                flush(L, buckets.pop(L))
+        for L in sorted(buckets):
+            flush(L, buckets[L])
+
+    with open(os.path.join(out_dir, "utt2num_frames"), "w") as f:
+        for utt in sorted(utt2nf):
+            f.write(f"{utt} {utt2nf[utt]}\n")
+
+
+def run_split(feat_dir: str, data_dir: str, min_frames: int,
+              cv_fraction: float, seed: int) -> int:
+    from pkr_tpu.io import DataDir
+
+    dd = DataDir.load(data_dir, names=("utt2spk",))
+    for name in ("feats.scp", "vad.scp", "utt2num_frames"):
+        fd = DataDir.load(feat_dir, names=(name,))
+        if name in fd:
+            dd.tables[name] = fd[name]
+    dd = dd.fix().filter_min_frames(min_frames)
+    if dd.num_utts == 0:
+        raise RuntimeError(
+            f"no utterances survived the >={min_frames}-frame filter in "
+            f"{feat_dir} — lower data.min_frames or use longer audio")
+    dd, num_spk = dd.assign_spk_ids()
+    train, cv = dd.train_cv_split(cv_fraction, seed)
+    train.save(os.path.join(feat_dir, "train"))
+    cv.save(os.path.join(feat_dir, "cv"))
+    with open(os.path.join(feat_dir, "num_spk"), "w") as f:
+        f.write(str(num_spk))
+    return num_spk
+
+
+def build_model(cfg_model, num_spk: int):
+    import jax.numpy as jnp
+
+    from pkr_tpu.models import SpeakerModel
+
+    return SpeakerModel(spk_num=num_spk, feat_dim=cfg_model.feat_dim,
+                        pooling=cfg_model.pooling, loss=cfg_model.loss,
+                        m=cfg_model.margin, s=cfg_model.scale,
+                        trunk=cfg_model.trunk, emb_dim=cfg_model.emb_dim)
+
+
+def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.data import (BalancedRepetitionSampler, FeatureSource,
+                              SpeakerBalancedSampler, TrainLoader)
+    from pkr_tpu.parallel import make_mesh
+    from pkr_tpu.train import (create_train_state, restore_checkpoint,
+                               save_checkpoint, train_and_validate)
+    from pkr_tpu.train.checkpoint import import_torch_checkpoint
+    from pkr_tpu.utils.logging import ProgressLogger
+
+    num_spk = int(open(os.path.join(feat_dir, "num_spk")).read())
+    model = build_model(cfg.model, num_spk)
+
+    def make_loader(split):
+        src = FeatureSource(os.path.join(feat_dir, split, "feats.scp"))
+        u2id = {u: int(v) for u, v in
+                (l.split() for l in open(os.path.join(feat_dir, split, "utt2spkid")))}
+        labels = [u2id[u] for u in src.utts]
+        sampler_cls = (SpeakerBalancedSampler if cfg.train.dataset == "v2"
+                       else BalancedRepetitionSampler)
+        sampler = sampler_cls(src.utts, labels)
+        chunk = (cfg.train.chunk_size[0] if len(cfg.train.chunk_size) == 1
+                 else tuple(cfg.train.chunk_size))
+        return TrainLoader(src, labels, sampler, cfg.train.batch_size, chunk,
+                           seed=cfg.train.seed)
+
+    train_loader, cv_loader = make_loader("train"), make_loader("cv")
+    example = jnp.zeros((2, cfg.model.feat_dim, min(cfg.train.chunk_size)))
+    state = create_train_state(model, jax.random.key(cfg.train.seed),
+                               example, jnp.zeros((2,), jnp.int32),
+                               cfg.train.momentum, cfg.train.weight_decay)
+    start_epoch = 0
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if cfg.train.resume:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(state.epoch)
+    elif cfg.train.pretrained:
+        if cfg.train.pretrained.endswith((".pth", ".pth.tar", ".pt")):
+            import torch
+
+            sd = torch.load(cfg.train.pretrained, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            variables = import_torch_checkpoint(
+                sd, {"params": state.params, "batch_stats": state.batch_stats})
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            restored = restore_checkpoint(cfg.train.pretrained, state, which="best")
+            if restored is not None:
+                state = state.replace(params=restored.params,
+                                      batch_stats=restored.batch_stats)
+
+    mesh = make_mesh()
+    logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))
+
+    def on_epoch_end(state, epoch, metrics):
+        save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"])
+
+    train_and_validate(model, state, train_loader, cv_loader,
+                       epochs=cfg.train.epochs, lr0=cfg.train.lr,
+                       lr_final=cfg.train.lr_final, momentum=cfg.train.momentum,
+                       weight_decay=cfg.train.weight_decay, mesh=mesh,
+                       start_epoch=start_epoch, print_freq=cfg.train.print_freq,
+                       on_epoch_end=on_epoch_end, logger=logger)
+
+
+def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> None:
+    import jax
+
+    from pkr_tpu.data import EvalLoader, FeatureSource
+    from pkr_tpu.eval.extract import extract_embeddings
+    from pkr_tpu.io import write_text_vec_ark
+    from pkr_tpu.train import create_train_state, restore_checkpoint
+
+    import jax.numpy as jnp
+
+    num_spk = int(open(os.path.join(feat_dir, "num_spk")).read())
+    model = build_model(cfg.model, num_spk)
+    example = jnp.zeros((2, cfg.model.feat_dim, 100))
+    state = create_train_state(model, jax.random.key(0), example,
+                               jnp.zeros((2,), jnp.int32))
+    restored = restore_checkpoint(os.path.join(exp_dir, "checkpoints"), state,
+                                  which="best")
+    if restored is None:
+        restored = restore_checkpoint(os.path.join(exp_dir, "checkpoints"), state)
+    assert restored is not None, "no checkpoint to extract from"
+    variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+    src = FeatureSource(scp)
+    loader = EvalLoader(src, batch_size=cfg.eval.batch_size,
+                        quantum=cfg.eval.bucket_quantum, max_len=cfg.eval.max_len,
+                        chunk_size=cfg.eval.chunk_size)
+    embs = extract_embeddings(model, variables, loader)
+    write_text_vec_ark(os.path.join(exp_dir, out_name), embs)
+
+
+def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
+              test_ark: str, cohort_ark: Optional[str] = None) -> Dict[str, float]:
+    from pkr_tpu.eval.metrics import compute_eer, compute_min_dcf
+    from pkr_tpu.eval.scoring import (adaptive_snorm, cohort_topk_stats,
+                                      cosine_scores, global_mean, read_trials,
+                                      write_scores)
+    from pkr_tpu.io import load_text_vec_ark
+
+    enroll = load_text_vec_ark(enroll_ark)
+    test = load_text_vec_ark(test_ark)
+    pairs, labels = read_trials(trials_path)
+    mean = None
+    if cohort_ark:
+        cohort_vecs = load_text_vec_ark(cohort_ark)
+        mean = global_mean(cohort_vecs)
+    scores = cosine_scores(enroll, test, pairs, mean)
+    if cfg.eval.backend == "snorm":
+        assert cohort_ark, "snorm needs a cohort ark"
+        cohort = np.stack(list(cohort_vecs.values()))
+        e_stats = cohort_topk_stats(enroll, cohort, cfg.eval.topk, mean)
+        t_stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
+        scores = adaptive_snorm(scores, pairs, e_stats, t_stats)
+    write_scores(os.path.join(exp_dir, "scores.txt"), pairs, scores)
+    results = {"eer": compute_eer(scores.tolist(), labels)}
+    for p in cfg.eval.p_targets:
+        results[f"min_dcf_p{p}"], _ = compute_min_dcf(scores.tolist(), labels, p)
+    with open(os.path.join(exp_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def main(argv=None):
+    from pkr_tpu.config import Config
+
+    ap = argparse.ArgumentParser(description="pkr_tpu recipe driver")
+    ap.add_argument("--config", type=str, default=None, help="JSON config path")
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--stop-stage", type=int, default=6)
+    ap.add_argument("--data-dir", type=str, required=True,
+                    help="dir with wav.scp/utt2spk (train corpus)")
+    ap.add_argument("--test-data-dir", type=str, default=None)
+    ap.add_argument("--trials", type=str, default=None)
+    ap.add_argument("--exp-dir", type=str, default="exp/run")
+    args = ap.parse_args(argv)
+
+    cfg = Config.from_json(open(args.config).read()) if args.config else Config()
+    os.makedirs(args.exp_dir, exist_ok=True)
+    feat_dir = os.path.join(args.exp_dir, "feats")
+    test_feat_dir = os.path.join(args.exp_dir, "feats_test")
+
+    for stage in _stage_range(args):
+        if stage == 1:
+            print(f"== stage 1: features → {feat_dir}")
+            run_features(args.data_dir, feat_dir)
+            if args.test_data_dir:
+                run_features(args.test_data_dir, test_feat_dir)
+        elif stage == 2:
+            print("== stage 2: filter/split/labels")
+            n = run_split(feat_dir, args.data_dir, cfg.data.min_frames,
+                          cfg.data.cv_fraction, cfg.train.seed)
+            print(f"num_spk={n}")
+        elif stage == 3:
+            print("== stage 3: train")
+            run_train(cfg, feat_dir, args.exp_dir)
+        elif stage == 4:
+            print("== stage 4: extract")
+            run_extract(cfg, feat_dir, args.exp_dir,
+                        os.path.join(feat_dir, "train", "feats.scp"), "train.iv")
+            if args.test_data_dir:
+                run_extract(cfg, feat_dir, args.exp_dir,
+                            os.path.join(test_feat_dir, "feats.scp"), "test.iv")
+        elif stage == 6 and args.trials:
+            print("== stage 6: score")
+            res = run_score(cfg, args.exp_dir, args.trials,
+                            os.path.join(args.exp_dir, "test.iv"),
+                            os.path.join(args.exp_dir, "test.iv"),
+                            cohort_ark=os.path.join(args.exp_dir, "train.iv"))
+            print(json.dumps(res, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Corpus manifest builders (VoxCeleb1/2, MUSAN, trials).
+
+Python ports of the Perl/py prep tools (SURVEY §2.5):
+- local/make_voxceleb1_v2.pl — walk <root>/<dev|test>/wav/<spk>/<rec>/<n>.wav,
+  utt id "spk-rec-name";
+- local/make_voxceleb2.pl — walk <root>/<dev|test>/aac/.../<n>.m4a, wav.scp
+  entries are ffmpeg decode pipes;
+- local/make_voxceleb1_trials.pl — "1|0 path1 path2" lines →
+  "utt1 utt2 target|nontarget";
+- local/make_musan.py — music/speech/noise subtrees → data dirs (skipping
+  music with vocals per the annotations);
+- scripts/make_trials.py — rude / balance / part trial synthesis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pkr_tpu.io.datadir import DataDir
+
+
+def _walk_utts(root: str, ext: str) -> List[Tuple[str, str, str]]:
+    """[(spk, utt_id, file_path)] for <root>/<spk>/<rec>/<name>.<ext>."""
+    out = []
+    for spk in sorted(os.listdir(root)):
+        spk_dir = os.path.join(root, spk)
+        if not os.path.isdir(spk_dir):
+            continue
+        for rec in sorted(os.listdir(spk_dir)):
+            rec_dir = os.path.join(spk_dir, rec)
+            if not os.path.isdir(rec_dir):
+                continue
+            for f in sorted(os.listdir(rec_dir)):
+                if f.endswith("." + ext):
+                    name = f[: -(len(ext) + 1)]
+                    out.append((spk, f"{spk}-{rec}-{name}", os.path.join(rec_dir, f)))
+    return out
+
+
+def make_voxceleb1(root: str, dataset: str = "dev") -> DataDir:
+    """VoxCeleb1 (current directory layout) → DataDir."""
+    assert dataset in ("dev", "test")
+    wav_root = os.path.join(root, dataset, "wav")
+    utt2spk, wav = {}, {}
+    for spk, utt, path in _walk_utts(wav_root, "wav"):
+        utt2spk[utt] = spk
+        wav[utt] = path
+    return DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()
+
+
+def make_voxceleb2(root: str, dataset: str = "dev",
+                   ffmpeg: str = "ffmpeg") -> DataDir:
+    """VoxCeleb2 (m4a) → DataDir with ffmpeg decode pipes in wav.scp."""
+    assert dataset in ("dev", "test")
+    aac_root = os.path.join(root, dataset, "aac")
+    utt2spk, wav = {}, {}
+    for spk, utt, path in _walk_utts(aac_root, "m4a"):
+        utt2spk[utt] = spk
+        wav[utt] = f"{ffmpeg} -v 8 -i {path} -f wav -acodec pcm_s16le -|"
+    return DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()
+
+
+def path_to_utt(path: str) -> str:
+    """'Spk/rec/00001.wav' → 'Spk-rec-00001' (trials.pl path munging)."""
+    parts = path.replace("\\", "/").split("/")
+    name = parts[-1]
+    if "." in name:
+        name = name[: name.rindex(".")]
+    return "-".join(parts[-3:-1] + [name])
+
+
+def convert_voxceleb1_trials(src_path: str, out_path: str) -> int:
+    """'1|0 <path1> <path2>' lines → '<utt1> <utt2> target|nontarget'
+    (local/make_voxceleb1_trials.pl:25-46)."""
+    n = 0
+    with open(out_path, "w") as out:
+        for line in open(src_path):
+            parts = line.split()
+            if len(parts) != 3:
+                continue
+            tgt = "target" if parts[0] == "1" else "nontarget"
+            out.write(f"{path_to_utt(parts[1])} {path_to_utt(parts[2])} {tgt}\n")
+            n += 1
+    return n
+
+
+def make_musan(root: str, use_vocals: bool = False) -> Dict[str, DataDir]:
+    """MUSAN tree → {'music': DataDir, 'speech': ..., 'noise': ...}
+    (local/make_musan.py semantics incl. vocal-music filtering)."""
+    out = {}
+    for kind in ("music", "speech", "noise"):
+        kdir = os.path.join(root, kind)
+        if not os.path.isdir(kdir):
+            continue
+        utt2spk, wav = {}, {}
+        for sub in sorted(os.listdir(kdir)):
+            subdir = os.path.join(kdir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            vocals = set()
+            ann = os.path.join(subdir, "ANNOTATIONS")
+            if kind == "music" and not use_vocals and os.path.exists(ann):
+                for line in open(ann):
+                    parts = line.split()
+                    if len(parts) >= 3 and parts[2].strip() in ("Y", "y"):
+                        vocals.add(parts[0])
+            for f in sorted(os.listdir(subdir)):
+                if not f.endswith(".wav"):
+                    continue
+                utt = f[:-4]
+                if utt in vocals:
+                    continue
+                utt2spk[utt] = utt  # musan "speakers" are the utts themselves
+                wav[utt] = os.path.join(subdir, f)
+        out[kind] = DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()
+    return out
+
+
+def make_trials(enroll: DataDir, test: DataDir, strategy: str = "rude",
+                music: Optional[DataDir] = None, seed: int = 0
+                ) -> List[Tuple[str, str, str]]:
+    """Trial synthesis strategies (scripts/make_trials.py:27-57):
+    'rude' = full enroll×test cross; 'balance' = each target trial paired with
+    one random impostor draw; 'part' = targets plus music impostors."""
+    rng = np.random.default_rng(seed)
+    enroll_spks = enroll.spks
+    test_u2s = test["utt2spk"]
+    trials: List[Tuple[str, str, str]] = []
+    if strategy == "rude":
+        for utt, spk in test_u2s.items():
+            for espk in enroll_spks:
+                trials.append((espk, utt, "target" if spk == espk else "nontarget"))
+    elif strategy == "balance":
+        keys = list(test_u2s)
+        for utt, spk in test_u2s.items():
+            if spk in enroll_spks:
+                trials.append((spk, utt, "target"))
+                other = keys[rng.integers(0, len(keys))]
+                t = "target" if test_u2s[other] == spk else "nontarget"
+                trials.append((spk, other, t))
+    elif strategy == "part":
+        assert music is not None, "'part' needs a music data dir"
+        music_utts = list(music["utt2spk"])
+        for utt, spk in test_u2s.items():
+            if spk in enroll_spks:
+                trials.append((spk, utt, "target"))
+                for _ in range(len(enroll_spks)):
+                    trials.append((spk, music_utts[rng.integers(0, len(music_utts))],
+                                   "nontarget"))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return trials
+
+
+def write_trials(path: str, trials: Sequence[Tuple[str, str, str]]) -> None:
+    with open(path, "w") as f:
+        for a, b, t in trials:
+            f.write(f"{a} {b} {t}\n")

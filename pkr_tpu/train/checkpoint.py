@@ -1,0 +1,180 @@
+"""Checkpointing: Orbax save/restore + best-pointer + PyTorch importer.
+
+Covers the reference's checkpoint story (SURVEY §5): per-epoch state dumps
+with a 'best' copy on cv improvement (train_resnet.py:281-289,382-385),
+resume (epoch/optimizer/metric restored — :209-229), and warm-start from a
+*PyTorch* checkpoint with name-tolerant loading (loadParameters,
+model.py:415-432) so models trained by the reference stack can be imported
+for parity testing and fine-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+from pkr_tpu.train.state import TrainState
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: TrainState, is_best: bool = False) -> None:
+    """Save to <path>/ckpt_<epoch>; copy to <path>/best when is_best
+    (model_best.pth.tar semantics, train_resnet.py:384-385)."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    epoch = int(state.epoch)
+    target = os.path.join(path, f"ckpt_{epoch}")
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    _ckptr().save(target, jax.device_get(state))
+    with open(os.path.join(path, "latest"), "w") as f:
+        f.write(str(epoch))
+    if is_best:
+        best = os.path.join(path, "best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(target, best)
+
+
+def restore_checkpoint(path: str, template: TrainState,
+                       which: str = "latest") -> Optional[TrainState]:
+    """Restore 'latest', 'best', or an explicit epoch number."""
+    path = os.path.abspath(path)
+    if which == "latest":
+        marker = os.path.join(path, "latest")
+        if not os.path.exists(marker):
+            return None
+        target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
+    elif which == "best":
+        target = os.path.join(path, "best")
+    else:
+        target = os.path.join(path, f"ckpt_{which}")
+    if not os.path.exists(target):
+        return None
+    restored = _ckptr().restore(target, item=jax.device_get(template))
+    return jax.tree.map(lambda t, r: np.asarray(r).astype(np.asarray(t).dtype)
+                        if hasattr(t, "dtype") else r, template, restored)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch → Flax importer
+# ---------------------------------------------------------------------------
+
+
+def _torch_name_to_flax(name: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
+    """Map a reference state-dict key to (flax path, leaf, collection).
+
+    Reference naming (model.py): res.conv1/res.bn1 stem; res.layerL.J.convK /
+    .bnK / .downsample.{0,1}; fc1; bn1 (head); last (softmax Dense or
+    AAMLayer weight).  Ours (speaker_model.py/resnet.py): _trunk/stem/...,
+    _trunk/layer{L}_{J}/ConvBN_{K-1}/..., fc1, bn1, last or aam_weight.
+    """
+    parts = name.split(".")
+    if parts[0] == "module":
+        parts = parts[1:]
+
+    def bn_leaf(leaf):
+        return {"weight": ("scale", "params"), "bias": ("bias", "params"),
+                "running_mean": ("mean", "batch_stats"),
+                "running_var": ("var", "batch_stats")}.get(leaf)
+
+    if parts[0] == "res":
+        if parts[1] == "conv1" and parts[2] == "weight":
+            return ("_trunk", "stem", "Conv_0"), "kernel", "params"
+        if parts[1] == "bn1":
+            m = bn_leaf(parts[2])
+            if m:
+                return ("_trunk", "stem", "BatchNorm_0"), m[0], m[1]
+        if parts[1].startswith("layer"):
+            L, J = int(parts[1][5:]), int(parts[2])
+            block = f"layer{L}_{J}"
+            sub = parts[3]
+            if sub in ("conv1", "conv2", "conv3") and parts[4] == "weight":
+                return ("_trunk", block, f"ConvBN_{int(sub[-1]) - 1}", "Conv_0"), "kernel", "params"
+            if sub in ("bn1", "bn2", "bn3"):
+                m = bn_leaf(parts[4])
+                if m:
+                    return ("_trunk", block, f"ConvBN_{int(sub[-1]) - 1}", "BatchNorm_0"), m[0], m[1]
+            if sub == "downsample":
+                if parts[4] == "0" and parts[5] == "weight":
+                    return ("_trunk", block, "downsample", "Conv_0"), "kernel", "params"
+                if parts[4] == "1":
+                    m = bn_leaf(parts[5])
+                    if m:
+                        return ("_trunk", block, "downsample", "BatchNorm_0"), m[0], m[1]
+            if sub == "se":  # SELayer fc.0 / fc.2 (model.py:21-26)
+                if parts[4] == "fc" and parts[6] == "weight":
+                    idx = {"0": "Dense_0", "2": "Dense_1"}.get(parts[5])
+                    if idx:
+                        return ("_trunk", block, "SEGate_0", idx), "kernel", "params"
+        return None
+    if parts[0] == "fc1":
+        return ("fc1",), {"weight": "kernel", "bias": "bias"}[parts[1]], "params"
+    if parts[0] == "bn1":
+        m = bn_leaf(parts[1])
+        if m:
+            return ("bn1",), m[0], m[1]
+        return None
+    if parts[0] == "last":
+        if parts[1] == "weight":
+            return ("last",), "kernel", "params"  # caller retargets for AAM
+        if parts[1] == "bias":
+            return ("last",), "bias", "params"
+    return None
+
+
+def import_torch_checkpoint(state_dict: Dict[str, Any], variables: Dict[str, Any],
+                            verbose: bool = True) -> Dict[str, Any]:
+    """Copy reference-model weights into a flax variables dict
+    ({'params': ..., 'batch_stats': ...}), name-tolerantly: unknown names and
+    shape mismatches are skipped with a message (loadParameters semantics,
+    model.py:415-432).  `state_dict` values may be torch tensors or numpy.
+
+    Returns a NEW variables dict.
+    """
+    import copy
+
+    out = copy.deepcopy(jax.device_get(variables))
+    has_aam = "aam_weight" in out.get("params", {})
+    n_loaded = 0
+    for name, value in state_dict.items():
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        mapped = _torch_name_to_flax(name)
+        if mapped is None:
+            if verbose and not name.endswith("num_batches_tracked"):
+                print(f"{name} is not in the model.")
+            continue
+        path, leaf, coll = mapped
+        if path == ("last",) and leaf == "kernel" and has_aam:
+            path, leaf = ("aam_weight",), None  # AAM weight stays (n_spk, emb)
+        elif leaf == "kernel":
+            arr = arr.transpose(2, 3, 1, 0) if arr.ndim == 4 else arr.T
+        node = out.get(coll, {})
+        try:
+            for p in path[:-1] if leaf is None else path:
+                node = node[p]
+            key = path[-1] if leaf is None else leaf
+            tgt = node[key]
+        except KeyError:
+            if verbose:
+                print(f"{name} is not in the model.")
+            continue
+        if tuple(np.shape(tgt)) != arr.shape:
+            if verbose:
+                print(f"Wrong parameter length: {name}, model: {np.shape(tgt)}, "
+                      f"loaded: {arr.shape}")
+            continue
+        node[key] = arr.astype(np.asarray(tgt).dtype)
+        n_loaded += 1
+    if verbose:
+        print(f"imported {n_loaded}/{len(state_dict)} tensors")
+    return out

@@ -1,0 +1,147 @@
+"""pjit train/eval steps and the epoch loop.
+
+Replaces train_resnet.py's main_worker + train()/validate()
+(train_resnet.py:134-379) with a single-program SPMD design:
+
+- ONE process; the global batch is sharded over the mesh's 'data' axis.
+  Because the loss is a mean over the global batch, XLA inserts the gradient
+  all-reduce — there is no DDP wrapper, no process group, no non_blocking
+  H2D copy dance (jax.device_put with a NamedSharding does the transfer).
+- Validation is SHARDED (each device sees 1/N of cv), fixing the reference's
+  every-rank-runs-the-full-cv-set waste (train_resnet.py:254-256).
+- BatchNorm uses global batch statistics under pjit (SyncBN semantics; the
+  reference kept per-replica stats — documented deviation).
+- top-1/top-5 metrics as in accuracy.py:4-17.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pkr_tpu.train.state import TrainState, cosine_epoch_lr, make_optimizer
+from pkr_tpu.utils.logging import AverageMeter, ProgressLogger
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Count of examples whose label is in the top-k logits (accuracy.py:4-17)."""
+    _, idx = jax.lax.top_k(logits, min(k, logits.shape[-1]))
+    return jnp.sum(jnp.any(idx == labels[:, None], axis=1).astype(jnp.float32))
+
+
+def make_train_step(model, tx=None, lr_schedule=None,
+                    momentum: float = 0.9, weight_decay: float = 5e-4):
+    tx = tx or make_optimizer(momentum, weight_decay)
+
+    @jax.jit
+    def train_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray,
+                   lr: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, labels, train=True, mutable=["batch_stats"])
+            loss = cross_entropy(logits, labels)
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                              state.params, updates)
+        bsz = labels.shape[0]
+        metrics = {
+            "loss": loss,
+            "acc1": topk_correct(logits, labels, 1) / bsz,
+            "acc5": topk_correct(logits, labels, 5) / bsz,
+        }
+        new_state = state.replace(params=params, batch_stats=new_bs,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return tx, train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, labels, train=False)
+        bsz = labels.shape[0]
+        return {
+            "loss": cross_entropy(logits, labels) * bsz,
+            "n1": topk_correct(logits, labels, 1),
+            "n5": topk_correct(logits, labels, 5),
+            "n": jnp.asarray(bsz, jnp.float32),
+        }
+
+    return eval_step
+
+
+def train_and_validate(model, state: TrainState, train_loader, cv_loader,
+                       epochs: int, lr0: float, lr_final: float = 0.0,
+                       momentum: float = 0.9, weight_decay: float = 5e-4,
+                       mesh=None, start_epoch: int = 0,
+                       print_freq: int = 100,
+                       on_epoch_end: Optional[Callable] = None,
+                       logger: Optional[ProgressLogger] = None) -> TrainState:
+    """The epoch loop (train → validate → best-tracking), mirroring
+    train_resnet.py:262-289 but single-program."""
+    log = logger or ProgressLogger()
+    tx, train_step = make_train_step(model, None, momentum=momentum,
+                                     weight_decay=weight_decay)
+    eval_step = make_eval_step(model)
+    schedule = cosine_epoch_lr(lr0, epochs, lr_final)
+    batch_shard = None
+    if mesh is not None:
+        batch_shard = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.device_put(x, batch_shard) if batch_shard is not None else jnp.asarray(x)
+
+    for epoch in range(start_epoch, epochs):
+        lr = jnp.asarray(schedule(epoch), jnp.float32)
+        meters = {k: AverageMeter(k) for k in ("loss", "acc1", "acc5", "time")}
+        t0 = time.time()
+        for i, (feats, labels) in enumerate(train_loader.epoch(epoch)):
+            state, metrics = train_step(state, put(feats), put(labels), lr)
+            if (i + 1) % print_freq == 0:
+                jax.block_until_ready(metrics)
+                dt = time.time() - t0
+                meters["time"].update(dt / print_freq, print_freq)
+                for k in ("loss", "acc1", "acc5"):
+                    meters[k].update(float(metrics[k]))
+                log.log(f"epoch {epoch} [{i + 1}] lr={float(lr):.5f} " +
+                        " ".join(str(m) for m in meters.values()))
+                t0 = time.time()
+        # sharded validation
+        totals = {"loss": 0.0, "n1": 0.0, "n5": 0.0, "n": 0.0}
+        for feats, labels in cv_loader.epoch(epoch):
+            out = eval_step(state, put(feats), put(labels))
+            for k in totals:
+                totals[k] += float(out[k])
+        acc1 = totals["n1"] / max(totals["n"], 1.0)
+        acc5 = totals["n5"] / max(totals["n"], 1.0)
+        cv_loss = totals["loss"] / max(totals["n"], 1.0)
+        log.log(f"epoch {epoch} CV: loss={cv_loss:.4f} acc1={acc1:.4f} acc5={acc5:.4f}")
+        is_best = acc1 > float(state.best_acc1)
+        state = state.replace(
+            epoch=jnp.asarray(epoch + 1, jnp.int32),
+            best_acc1=jnp.maximum(state.best_acc1, jnp.asarray(acc1, jnp.float32)))
+        if on_epoch_end is not None:
+            on_epoch_end(state, epoch, {"acc1": acc1, "acc5": acc5,
+                                        "loss": cv_loss, "is_best": is_best})
+    return state

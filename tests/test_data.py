@@ -1,0 +1,119 @@
+"""Sampler and loader tests (datasets.py balancing semantics)."""
+
+import numpy as np
+import pytest
+
+from pkr_tpu.data.sampler import BalancedRepetitionSampler, SpeakerBalancedSampler
+from pkr_tpu.data.loader import EvalLoader, FeatureSource, TrainLoader, bucket_lengths
+from pkr_tpu.io import kaldi_ark
+
+
+def test_balanced_repetition_counts():
+    """datasets.py:16-31: cap = min(500, (max_count+1)//2); each utt repeated
+    max(1, cap // class_count)."""
+    labels = [0] * 10 + [1] * 2 + [2] * 1
+    utts = [f"u{i}" for i in range(len(labels))]
+    s = BalancedRepetitionSampler(utts, labels)
+    assert s.max_id_count == (10 + 1) // 2  # == 5
+    # class 0: rep 5//10=0 → max(1,0)=1 each → 10; class 1: 5//2=2 → 4; class 2: 5//1=5
+    assert len(s) == 10 + 4 + 5
+    counts = np.bincount(s.labels[s.index])
+    assert list(counts) == [10, 4, 5]
+
+
+def test_balanced_repetition_cap_500():
+    labels = [0] * 2000 + [1] * 4
+    utts = [f"u{i}" for i in range(len(labels))]
+    s = BalancedRepetitionSampler(utts, labels)
+    assert s.max_id_count == 500
+    counts = np.bincount(s.labels[s.index])
+    assert counts[1] == 4 * (500 // 4)
+
+
+def test_epoch_indices_disjoint_across_hosts():
+    labels = list(range(8)) * 4
+    utts = [f"u{i}" for i in range(len(labels))]
+    s = BalancedRepetitionSampler(utts, labels)
+    a = s.epoch_indices(3, seed=7, process_index=0, process_count=2)
+    b = s.epoch_indices(3, seed=7, process_index=1, process_count=2)
+    assert len(a) + len(b) == len(s)
+    # same epoch twice → identical (deterministic across hosts)
+    a2 = s.epoch_indices(3, seed=7, process_index=0, process_count=2)
+    np.testing.assert_array_equal(a, a2)
+    # different epoch → different order
+    a3 = s.epoch_indices(4, seed=7, process_index=0, process_count=2)
+    assert not np.array_equal(a, a3)
+
+
+def test_speaker_balanced_sampler():
+    """datasets.py:74-146: epoch = num_spk × (max_count+1)//2 draws, each
+    speaker equally often."""
+    labels = [0] * 9 + [1] * 3 + [2] * 1
+    utts = [f"u{i}" for i in range(len(labels))]
+    s = SpeakerBalancedSampler(utts, labels)
+    assert s.num_spk == 3 and s.repetition == 5 and len(s) == 15
+    idx = s.epoch_indices(0, seed=1)
+    drawn = s.labels[idx]
+    assert list(np.bincount(drawn)) == [5, 5, 5]
+
+
+@pytest.fixture
+def feat_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    utts = {}
+    with kaldi_ark.write_ark_scp(str(tmp_path / "f.ark"), str(tmp_path / "f.scp")) as w:
+        for i in range(12):
+            n = 30 + 13 * i
+            utts[f"u{i:02d}"] = rng.standard_normal((n, 8)).astype(np.float32)
+            w.write(f"u{i:02d}", utts[f"u{i:02d}"])
+    return tmp_path, utts
+
+
+def test_train_loader_shapes_and_crops(feat_dir):
+    tmp_path, utts = feat_dir
+    src = FeatureSource(str(tmp_path / "f.scp"))
+    labels = [i % 3 for i in range(12)]
+    sampler = BalancedRepetitionSampler(src.utts, labels)
+    loader = TrainLoader(src, labels, sampler, batch_size=4, chunk=20, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.batches_per_epoch()
+    for feats, labs in batches:
+        assert feats.shape == (4, 8, 20)  # (B, F, T)
+        assert labs.shape == (4,)
+    # determinism
+    batches2 = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0][0], batches2[0][0])
+
+
+def test_train_loader_short_utterance_tiling(feat_dir):
+    tmp_path, _ = feat_dir
+    src = FeatureSource(str(tmp_path / "f.scp"))
+    labels = [0] * 12
+    sampler = BalancedRepetitionSampler(src.utts, labels)
+    loader = TrainLoader(src, labels, sampler, batch_size=4, chunk=50, seed=0)
+    for feats, _ in loader.epoch(0):
+        assert feats.shape[-1] == 50  # shortest utt is 30 → tiled
+
+
+def test_eval_loader_buckets(feat_dir):
+    tmp_path, utts = feat_dir
+    src = FeatureSource(str(tmp_path / "f.scp"))
+    loader = EvalLoader(src, batch_size=3, quantum=50, max_len=150)
+    seen = {}
+    for keys, feats, mask in loader:
+        assert feats.shape[2] % 50 == 0 and feats.shape[2] <= 150
+        for b, k in enumerate(keys):
+            n = int(mask[b].sum())
+            np.testing.assert_array_equal(feats[b, :, :n], utts[k][:n].T)
+            assert np.abs(feats[b, :, n:]).sum() == 0
+            seen[k] = n
+    assert set(seen) == set(src.utts)  # each utt exactly once — no dedup pass
+    # true length preserved (up to the cap)
+    for k, v in utts.items():
+        assert seen[k] == min(len(v), 150)
+
+
+def test_bucket_lengths():
+    np.testing.assert_array_equal(bucket_lengths([1, 99, 100, 101], 100),
+                                  [100, 100, 100, 200])
+    np.testing.assert_array_equal(bucket_lengths([350], 100, 300), [300])

@@ -1,0 +1,170 @@
+"""Scoring + metric parity tests.
+
+The EER/minDCF oracle below is a literal python-loop transcription of the
+reference algorithms (compute_eer.py:35-104, compute_min_dcf.py:54-106);
+agreement must be bit-for-bit (BASELINE.json)."""
+
+from operator import itemgetter
+
+import numpy as np
+import pytest
+
+from pkr_tpu.eval.metrics import compute_eer, compute_error_rates, compute_min_dcf
+from pkr_tpu.eval.scoring import (
+    adaptive_snorm,
+    cohort_topk_stats,
+    cosine_scores,
+    global_mean,
+    pooled_speaker_means,
+    speaker_means,
+)
+
+
+def oracle_error_rates(scores, labels):
+    sorted_indexes, thresholds = zip(*sorted(enumerate(scores), key=itemgetter(1)))
+    labels = [labels[i] for i in sorted_indexes]
+    fnrs, fprs = [], []
+    for i in range(len(labels)):
+        if i == 0:
+            fnrs.append(labels[i])
+            fprs.append(1 - labels[i])
+        else:
+            fnrs.append(fnrs[i - 1] + labels[i])
+            fprs.append(fprs[i - 1] + 1 - labels[i])
+    fnrs_norm = sum(labels)
+    fprs_norm = len(labels) - fnrs_norm
+    fnrs = [x / float(fnrs_norm) for x in fnrs]
+    fprs = [1 - x / float(fprs_norm) for x in fprs]
+    return fnrs, fprs, thresholds
+
+
+def oracle_eer(scores, labels):
+    fnrs, fprs, _ = oracle_error_rates(scores, labels)
+    i = int(np.nanargmin(np.absolute(np.array(fnrs) - np.array(fprs))))
+    return max(fprs[i], fnrs[i])
+
+
+def oracle_min_dcf(scores, labels, p_target, c_miss=1.0, c_fa=1.0):
+    fnrs, fprs, thresholds = oracle_error_rates(scores, labels)
+    min_c_det, min_thr = float("inf"), thresholds[0]
+    for i in range(len(fnrs)):
+        c_det = c_miss * fnrs[i] * p_target + c_fa * fprs[i] * (1 - p_target)
+        if c_det < min_c_det:
+            min_c_det, min_thr = c_det, thresholds[i]
+    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
+    return min_c_det / c_def, min_thr
+
+
+def synth_scores(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = (rng.random(n) < 0.3).astype(int)
+    scores = np.where(labels, rng.normal(1.0, 1.0, n), rng.normal(-1.0, 1.0, n))
+    return scores.tolist(), labels.tolist()
+
+
+def test_eer_bit_parity():
+    scores, labels = synth_scores()
+    assert compute_eer(scores, labels) == oracle_eer(scores, labels)
+    # with duplicate scores (stable-sort tie handling)
+    scores2 = [round(s, 1) for s in scores]
+    assert compute_eer(scores2, labels) == oracle_eer(scores2, labels)
+
+
+@pytest.mark.parametrize("p", [0.01, 0.001])
+def test_min_dcf_bit_parity(p):
+    scores, labels = synth_scores(seed=1)
+    got, thr = compute_min_dcf(scores, labels, p)
+    ref, rthr = oracle_min_dcf(scores, labels, p)
+    assert got == ref
+    assert thr == rthr
+
+
+def test_error_rates_match_oracle():
+    scores, labels = synth_scores(300, seed=2)
+    fnrs, fprs, thr = compute_error_rates(scores, labels)
+    rfnrs, rfprs, rthr = oracle_error_rates(scores, labels)
+    np.testing.assert_allclose(fnrs, rfnrs, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(fprs, rfprs, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(thr, rthr)
+
+
+def test_cosine_scores_match_torch_loop():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    enroll = {f"spk{i}": rng.standard_normal(16).astype(np.float32) for i in range(5)}
+    test = {f"utt{i}": rng.standard_normal(16).astype(np.float32) for i in range(9)}
+    mean = rng.standard_normal(16).astype(np.float32)
+    trials = [(f"spk{i % 5}", f"utt{j}") for i in range(5) for j in range(9)]
+
+    ref = []
+    for a, b in trials:  # the reference's per-trial loop (cosine_score.py:60-66)
+        va = torch.from_numpy(enroll[a] - mean)
+        vb = torch.from_numpy(test[b] - mean)
+        ref.append(float(F.cosine_similarity(va, vb, dim=0)))
+    got = cosine_scores(enroll, test, trials, mean)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_cohort_topk_and_snorm_match_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(4)
+    D, C = 8, 50
+    vecs = {f"u{i}": rng.standard_normal(D).astype(np.float32) for i in range(6)}
+    cohort = rng.standard_normal((C, D)).astype(np.float32)
+    mean = rng.standard_normal(D).astype(np.float32)
+    k = 10
+
+    got = cohort_topk_stats(vecs, cohort, topk=k, mean=mean)
+    norm_mat = F.normalize(torch.from_numpy(cohort - mean), p=2, dim=1)
+    for key, v in vecs.items():
+        vec = F.normalize(torch.from_numpy(v - mean), p=2, dim=0)
+        scores = torch.matmul(norm_mat, vec)
+        top, _ = scores.topk(k)
+        s, m = torch.std_mean(top)  # unbiased std (compute_topk_mean_std.py:19)
+        assert abs(got[key][0] - float(m)) < 1e-5
+        assert abs(got[key][1] - float(s)) < 1e-5
+
+    # snorm formula (adaptive_snorm.py:33-34)
+    trials = [("u0", "u1"), ("u2", "u3")]
+    stats = {key: got[key] for key in vecs}
+    raw = np.array([0.5, -0.2])
+    sn = adaptive_snorm(raw, trials, stats, stats)
+    for i, (a, b) in enumerate(trials):
+        exp = ((raw[i] - stats[a][0]) / max(stats[a][1], 1e-8) / 2
+               + (raw[i] - stats[b][0]) / max(stats[b][1], 1e-8) / 2)
+        assert abs(sn[i] - exp) < 1e-12
+
+
+def test_means():
+    rng = np.random.default_rng(5)
+    vecs = {f"s{i}-u{j}": rng.standard_normal(4).astype(np.float32)
+            for i in range(3) for j in range(2)}
+    gm = global_mean(vecs)
+    np.testing.assert_allclose(gm, np.mean(list(vecs.values()), axis=0), rtol=1e-6)
+    utt2spk = {k: k.split("-")[0] for k in vecs}
+    sm = speaker_means(vecs, utt2spk)
+    assert set(sm) == {"s0", "s1", "s2"}
+    np.testing.assert_allclose(sm["s1"],
+                               (vecs["s1-u0"] + vecs["s1-u1"]) / 2, rtol=1e-6)
+    pm = pooled_speaker_means(vecs, {"s0": ["s0-u0", "s0-u1"], "sX": ["nope"]})
+    assert "sX" not in pm and "s0" in pm
+
+
+def test_end_to_end_metric_sanity():
+    """Well-separated synthetic speakers → EER 0; random → EER ≈ 0.5."""
+    rng = np.random.default_rng(6)
+    enroll = {f"spk{i}": np.eye(8)[i].astype(np.float32) for i in range(4)}
+    test, trials, labels = {}, [], []
+    for i in range(4):
+        for j in range(3):
+            key = f"u{i}_{j}"
+            test[key] = (np.eye(8)[i] + 0.05 * rng.standard_normal(8)).astype(np.float32)
+            for s in range(4):
+                trials.append((f"spk{s}", key))
+                labels.append(1 if s == i else 0)
+    scores = cosine_scores(enroll, test, trials)
+    assert compute_eer(scores.tolist(), labels) == 0.0

@@ -1,0 +1,163 @@
+"""Model-zoo tests: geometry parity with the reference trunks, AAM margin
+math against an independent torch transcription, masked pooling contract."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pkr_tpu.models import SpeakerModel, resnet34
+from pkr_tpu.ops.aam import aam_logits, cosine_logits
+from pkr_tpu.ops.stats_pool import stats_pool, flatten_pooled
+
+
+def _resnet34_vars():
+    """Shared tiny-input init of the full ResNet-34 (compiles once)."""
+    model = resnet34(dtype=jnp.float32)
+    x = jnp.zeros((1, 40, 16))
+    return model, x, model.init(jax.random.key(0), x, train=False)
+
+
+def test_resnet34_geometry():
+    """Input (B, 40, T) → trunk map (B, 5, (T+7)//8, 256) — the r-vector
+    geometry (model.py:246-269: stages 32/64/128/256, strides 1/2/2/2)."""
+    model, x, vars_ = _resnet34_vars()
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (1, 5, 2, 256)
+
+
+def test_param_count_matches_torch_resnet34():
+    """Conv/BN parameter volume of the trunk must equal the torch reference's
+    (same architecture ⇒ same count): computed analytically."""
+    _, _, vars_ = _resnet34_vars()
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(vars_["params"]))
+
+    # analytic torch count: stem + 4 stages of BasicBlocks + downsamples
+    def bn(c):
+        return 2 * c
+
+    count = 9 * 1 * 32 + bn(32)  # stem
+    cin = 32
+    for stage, (c, n) in enumerate(zip([32, 64, 128, 256], [3, 4, 6, 3])):
+        for j in range(n):
+            count += 9 * cin * c + bn(c) + 9 * c * c + bn(c)
+            if cin != c:
+                count += cin * c + bn(c)  # 1x1 downsample
+            cin = c
+    assert n_params == count
+
+
+def test_stats_pool_matches_torch_var_mean():
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 256, 5, 25)).astype(np.float32)  # torch NCHW
+    mean_t = torch.from_numpy(x).mean(dim=3)
+    var_t = torch.from_numpy(x).var(dim=3)  # unbiased, like torch.var_mean
+    ref = torch.cat([mean_t, torch.sqrt(var_t)], dim=-1)  # (B, C, 2F)
+    ref_flat = ref.flatten(1, -1).numpy()
+
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))  # (B, F, T, C)
+    pooled = stats_pool(jnp.asarray(x_nhwc), None, "mean+std")
+    flat = flatten_pooled(pooled)
+    np.testing.assert_allclose(np.asarray(flat), ref_flat, rtol=1e-5, atol=1e-5)
+
+
+def test_stats_pool_masked_equals_exact():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 5, 30, 8)).astype(np.float32)
+    x[:, :, 20:, :] = 99.0  # garbage in padded region
+    mask = np.arange(30) < 20
+    masked = stats_pool(jnp.asarray(x), jnp.asarray(mask[None]), "mean+std")
+    exact = stats_pool(jnp.asarray(x[:, :, :20, :]), None, "mean+std")
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(exact), rtol=1e-5, atol=1e-5)
+
+
+def test_aam_matches_torch_reference_formula():
+    """Independent torch transcription of the ArcFace forward
+    (model.py:483-499) vs our fused version."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(2)
+    B, D, C = 16, 32, 11
+    m, s = 0.2, 30.0
+    emb = rng.standard_normal((B, D)).astype(np.float32)
+    w = rng.standard_normal((C, D)).astype(np.float32)
+    labels = rng.integers(0, C, B)
+
+    cos = F.linear(F.normalize(torch.from_numpy(emb)), F.normalize(torch.from_numpy(w)))
+    sin = torch.sqrt((1.0 - cos.pow(2)).clamp(0, 1))
+    phi = cos * math.cos(m) - sin * math.sin(m)
+    th, mm = math.cos(math.pi - m), math.sin(math.pi - m) * m
+    phi = torch.where(cos - th > 0, phi, cos - mm)
+    one_hot = torch.zeros_like(cos)
+    one_hot.scatter_(1, torch.from_numpy(labels).view(-1, 1), 1)
+    ref = ((one_hot * phi) + (1.0 - one_hot) * cos) * s
+
+    got = aam_logits(jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels), m, s)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-5)
+    # eval path = scaled cosine
+    got_eval = aam_logits(jnp.asarray(emb), jnp.asarray(w), None, m, s)
+    np.testing.assert_allclose(np.asarray(got_eval), (cos * s).numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_aam_margin_guard_extreme_cosines():
+    """cosθ ≈ ±1 hits the clamp/where guard; gradients must stay finite
+    (SURVEY §7: AAM numerics hard part)."""
+    w = jnp.eye(4, 8)
+    emb = jnp.concatenate([jnp.eye(4, 8) * 5, -jnp.eye(4, 8) * 5])  # cos = ±1
+    labels = jnp.array([0, 1, 2, 3, 0, 1, 2, 3])
+
+    def loss(e):
+        lg = aam_logits(e, w, labels, 0.2, 30.0)
+        return -jnp.mean(jax.nn.log_softmax(lg)[jnp.arange(8), labels])
+
+    val, grad = jax.value_and_grad(loss)(emb)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+@pytest.mark.parametrize("loss", ["softmax", "AAM", "AAM-v1"])
+def test_speaker_model_heads(loss):
+    model = SpeakerModel(spk_num=7, feat_dim=40, loss=loss, trunk="tiny_resnet", dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 40, 32)), jnp.float32)
+    y = jnp.array([1, 4])
+    vars_ = model.init(jax.random.key(0), x, y, train=True)
+    logits, _ = model.apply(vars_, x, y, train=True, mutable=["batch_stats"])
+    assert logits.shape == (2, 7)
+    emb = model.apply(vars_, x, method=SpeakerModel.embed)
+    assert emb.shape == (2, 256)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_embed_mask_contract():
+    """Embedding of an utterance padded inside a longer bucket ≈ embedding at
+    its exact length (boundary conv bleed only)."""
+    model = SpeakerModel(spk_num=5, feat_dim=40, trunk="tiny_resnet", dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((1, 40, 48)).astype(np.float32)
+    vars_ = model.init(jax.random.key(0), jnp.zeros((1, 40, 48)), train=False)
+    exact = model.apply(vars_, jnp.asarray(feats), method=SpeakerModel.embed)
+    padded = np.zeros((1, 40, 72), np.float32)
+    padded[:, :, :48] = feats
+    mask = (np.arange(72) < 48)[None]
+    bucketed = model.apply(vars_, jnp.asarray(padded), jnp.asarray(mask),
+                           method=SpeakerModel.embed)
+    exact, bucketed = np.asarray(exact), np.asarray(bucketed)
+    cos = float((exact * bucketed).sum()
+                / (np.linalg.norm(exact) * np.linalg.norm(bucketed)))
+    # tiny trunk → 6-frame map, so the single pad-boundary column is a large
+    # fraction of the stats; the production-size map (25+ cols) bleeds less
+    assert cos > 0.99, cos
+
+
+def test_densenet_trunk_runs():
+    model = SpeakerModel(spk_num=5, feat_dim=40, trunk="densenet62",
+                         pooling="mean+std", dtype=jnp.float32)
+    x = jnp.zeros((1, 40, 32))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    emb = model.apply(vars_, x, method=SpeakerModel.embed)
+    assert emb.shape == (1, 256)

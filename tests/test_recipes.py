@@ -1,0 +1,97 @@
+"""Manifest builders, trial tools, and config round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pkr_tpu.config import Config, ModelConfig, TrainConfig
+from pkr_tpu.io.datadir import DataDir
+from pkr_tpu.recipes.voxceleb import (convert_voxceleb1_trials, make_musan,
+                                      make_trials, make_voxceleb1,
+                                      make_voxceleb2, path_to_utt,
+                                      write_trials)
+
+
+def fake_voxceleb(root, ext="wav", subdir="wav", n_spk=2, n_rec=2, n_utt=2):
+    for i in range(n_spk):
+        for r in range(n_rec):
+            d = root / "dev" / subdir / f"id{i:05d}" / f"rec{r}"
+            d.mkdir(parents=True)
+            for u in range(n_utt):
+                (d / f"{u:05d}.{ext}").write_bytes(b"")
+
+
+def test_make_voxceleb1(tmp_path):
+    fake_voxceleb(tmp_path)
+    dd = make_voxceleb1(str(tmp_path), "dev")
+    assert dd.num_utts == 8
+    assert dd.validate() == []
+    assert "id00000-rec0-00000" in dd["wav.scp"]
+    assert dd["utt2spk"]["id00001-rec1-00001"] == "id00001"
+
+
+def test_make_voxceleb2_ffmpeg_pipes(tmp_path):
+    fake_voxceleb(tmp_path, ext="m4a", subdir="aac")
+    dd = make_voxceleb2(str(tmp_path), "dev")
+    assert dd.num_utts == 8
+    entry = dd["wav.scp"]["id00000-rec0-00000"]
+    assert entry.startswith("ffmpeg") and entry.endswith("-|")
+
+
+def test_trials_conversion(tmp_path):
+    src = tmp_path / "veri_test.txt"
+    src.write_text("1 id1/rec1/00001.wav id1/rec2/00002.wav\n"
+                   "0 id1/rec1/00001.wav id2/rec9/00003.wav\n")
+    out = tmp_path / "trials"
+    n = convert_voxceleb1_trials(str(src), str(out))
+    assert n == 2
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "id1-rec1-00001 id1-rec2-00002 target"
+    assert lines[1] == "id1-rec1-00001 id2-rec9-00003 nontarget"
+    assert path_to_utt("a/b/c/d.wav") == "b-c-d"
+
+
+def test_make_musan_vocal_filtering(tmp_path):
+    d = tmp_path / "music" / "fma"
+    d.mkdir(parents=True)
+    (d / "music-fma-0001.wav").write_bytes(b"")
+    (d / "music-fma-0002.wav").write_bytes(b"")
+    (d / "ANNOTATIONS").write_text("music-fma-0001 someone Y beat\n"
+                                   "music-fma-0002 someone N beat\n")
+    n = tmp_path / "noise" / "free"
+    n.mkdir(parents=True)
+    (n / "noise-free-0001.wav").write_bytes(b"")
+    dirs = make_musan(str(tmp_path))
+    assert set(dirs) == {"music", "noise"}
+    assert list(dirs["music"]["wav.scp"]) == ["music-fma-0002"]  # vocals dropped
+    assert dirs["noise"].num_utts == 1
+
+
+def test_make_trials_strategies():
+    enroll = DataDir({"utt2spk": {f"s{i}-e": f"s{i}" for i in range(3)}}).make_spk2utt()
+    test = DataDir({"utt2spk": {f"s{i}-t{j}": f"s{i}"
+                                for i in range(3) for j in range(2)}})
+    rude = make_trials(enroll, test, "rude")
+    assert len(rude) == 3 * 6
+    n_target = sum(1 for _, _, t in rude if t == "target")
+    assert n_target == 6
+    bal = make_trials(enroll, test, "balance", seed=1)
+    assert len(bal) == 12  # each target paired with one extra draw
+    music = DataDir({"utt2spk": {f"m{j}": f"m{j}" for j in range(5)}})
+    part = make_trials(enroll, test, "part", music=music, seed=1)
+    targets = [x for x in part if x[2] == "target"]
+    assert len(targets) == 6
+    assert all(x[1].startswith("m") for x in part if x[2] == "nontarget")
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = Config(model=ModelConfig(loss="AAM", trunk="se_resnet34"),
+                 train=TrainConfig(epochs=5, chunk_size=(200, 400)))
+    text = cfg.to_json()
+    back = Config.from_json(text)
+    assert back.model.loss == "AAM"
+    assert back.model.trunk == "se_resnet34"
+    assert back.train.epochs == 5
+    assert back.train.chunk_size == (200, 400)
+    assert back.frontend.fbank.num_mel_bins == 40
