@@ -50,12 +50,23 @@ def measure_tpu(batch: int = BATCH, iters: int = 8) -> float:
     lengths = jnp.full((batch,), N_SAMPLES, jnp.int32)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 40, 200)), train=False)
 
+    # Two dispatches, not one: compiling the framing gather + DFT matmuls into
+    # the same XLA program as the conv stack degrades the convs ~6x on v5e
+    # (global layout assignment picks conv-hostile layouts); as separate
+    # executables the frontend costs 0.3 ms and the trunk keeps its 16 ms.
     @jax.jit
-    def wav_to_emb(wavs, lengths, rng):
+    def wav_to_feats(wavs, lengths, rng):
         feats, mask, _ = wav_to_train_feats(wavs, lengths, rng, cfg)
-        feats = jnp.transpose(feats, (0, 2, 1))  # (B, F, T)
+        return jnp.transpose(feats, (0, 2, 1)), mask  # (B, F, T)
+
+    @jax.jit
+    def feats_to_emb(feats, mask):
         return model.apply(variables, feats, mask, train=False,
                            method=SpeakerModel.embed)
+
+    def wav_to_emb(wavs, lengths, rng):
+        feats, mask = wav_to_feats(wavs, lengths, rng)
+        return feats_to_emb(feats, mask)
 
     key = jax.random.key(1)
     out = wav_to_emb(wavs, lengths, key)

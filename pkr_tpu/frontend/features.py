@@ -231,28 +231,48 @@ def frame_signal(wav: jnp.ndarray, length: jnp.ndarray, cfg: FbankConfig,
 
     Returns (frames (T_max, win), frame_mask (T_max,)).  snip-edges=false
     mirrors the signal at both true edges with edge duplication
-    ([x2 x1 x0 | x0 x1 ...] — kaldi.py:61-81), computed as a gather with
-    per-utterance reflection indices, so one compiled program serves every
-    utterance length in the bucket.
+    ([x2 x1 x0 | x0 x1 ...] — kaldi.py:61-81).
+
+    TPU note: NO general gather anywhere — XLA lowers arbitrary gathers to
+    per-element loops on TPU (measured ~80 ms/batch vs <1 ms for this
+    formulation).  Instead:
+      - the padded signal is reshaped into shift-sized rows and each frame is
+        the concatenation of ceil(win/shift) consecutive row slices
+        (pure reshape/slice/concat, all static);
+      - the start mirror is a static flip (it never depends on the true
+        length);
+      - the end mirror is flip(dynamic_slice(wav, n-win, win)) written back
+        with one dynamic_update_slice at position pad+n.
+    Requires length >= window_size, which Kaldi itself asserts
+    (kaldi.py:128).
     """
     n_static = wav.shape[0]
     shift, win = cfg.window_shift, cfg.window_size
     if max_frames is None:
         max_frames = int(num_frames(n_static, cfg))
-    if cfg.snip_edges:
-        start = jnp.arange(max_frames) * shift
-        idx = start[:, None] + jnp.arange(win)[None, :]
-        frames = wav[jnp.clip(idx, 0, n_static - 1)]
-        mask = jnp.arange(max_frames) < num_frames(length, cfg)
-        return frames, mask
-    pad = win // 2 - shift // 2
-    start = jnp.arange(max_frames) * shift - pad
-    idx = start[:, None] + jnp.arange(win)[None, :]  # (T, win), may be <0 or >=n
-    idx = jnp.where(idx < 0, -idx - 1, idx)
-    idx = jnp.where(idx >= length, 2 * length - 1 - idx, idx)
-    idx = jnp.clip(idx, 0, n_static - 1)
-    frames = wav[idx]
     mask = jnp.arange(max_frames) < num_frames(length, cfg)
+
+    if cfg.snip_edges:
+        pad = 0
+        base = jnp.concatenate([wav, jnp.zeros((win + shift,), wav.dtype)])
+    else:
+        pad = win // 2 - shift // 2
+        start_mirror = wav[:pad][::-1]
+        base = jnp.concatenate(
+            [start_mirror, wav, jnp.zeros((win + shift,), wav.dtype)])
+        # end mirror: positions [n, n+win) read wav[2n-1-i] = flip(wav[n-win:n])
+        end_patch = jax.lax.dynamic_slice(
+            wav, (jnp.maximum(length - win, 0),), (win,))[::-1]
+        base = jax.lax.dynamic_update_slice(base, end_patch, (pad + length,))
+
+    n_rows = -(-win // shift)  # ceil
+    total_rows = max_frames + n_rows
+    need = total_rows * shift
+    if need > base.shape[0]:
+        base = jnp.concatenate([base, jnp.zeros((need - base.shape[0],), wav.dtype)])
+    rows = base[:need].reshape(total_rows, shift)
+    frames = jnp.concatenate(
+        [rows[j:j + max_frames] for j in range(n_rows)], axis=1)[:, :win]
     return frames, mask
 
 
