@@ -23,7 +23,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 SECONDS = 6.0
 RATE = 16000
 N_SAMPLES = int(SECONDS * RATE)
-BATCH = 32
+BATCH = 128  # throughput saturates at 128-256 on v5e
 
 
 def make_wavs(batch: int) -> np.ndarray:
@@ -35,9 +35,21 @@ def make_wavs(batch: int) -> np.ndarray:
     return sig.astype(np.float32)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def measure_tpu(batch: int = BATCH, iters: int = 8) -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from pkr_tpu.frontend import FrontendConfig, wav_to_train_feats
     from pkr_tpu.models import SpeakerModel
