@@ -28,9 +28,16 @@ from pkr_tpu.io import kaldi_ark
 
 
 class FeatureSource:
-    """Random-access feature reader over a feats.scp (rxspecifier per utt)."""
+    """Random-access feature reader over a feats.scp (rxspecifier per utt).
 
-    def __init__(self, scp_path: str):
+    Uses the native C++ reader (pkr_tpu.io.native, crop-aware CM decode) for
+    plain ``path:offset`` entries when libpkr_ark.so is available; pipes,
+    gzip and exotic formats fall back to the python codec.
+    """
+
+    def __init__(self, scp_path: str, use_native: bool = True):
+        from pkr_tpu.io import native
+
         self.utts: List[str] = []
         self.rx: List[str] = []
         for line in open(scp_path):
@@ -39,31 +46,55 @@ class FeatureSource:
                 self.utts.append(parts[0])
                 self.rx.append(parts[1])
         self._cache: Optional[Dict[int, np.ndarray]] = None
+        self._native = native if (use_native and native.available()) else None
+        self._split = [native.split_rxspec(r) for r in self.rx] if self._native else None
+        self._dims: Dict[int, Tuple[int, int]] = {}
 
     def __len__(self):
         return len(self.utts)
 
     def cache_in_memory(self) -> None:
         """Materialize all matrices (tiny corpora / benchmarks)."""
-        self._cache = {i: kaldi_ark.read_mat(r) for i, r in enumerate(self.rx)}
+        self._cache = {i: self.read(i) for i in range(len(self.rx))}
 
     def read(self, i: int) -> np.ndarray:
         if self._cache is not None:
             return self._cache[i]
+        if self._native is not None and self._split[i] is not None:
+            path, off = self._split[i]
+            return self._native.read_mat(path, off)
         return kaldi_ark.read_mat(self.rx[i])
 
+    def dims(self, i: int) -> Tuple[int, int]:
+        if i not in self._dims:
+            if self._cache is not None:
+                self._dims[i] = self._cache[i].shape
+            elif self._native is not None and self._split[i] is not None:
+                path, off = self._split[i]
+                self._dims[i] = self._native.mat_dims(path, off)
+            else:
+                self._dims[i] = kaldi_ark.read_mat(self.rx[i]).shape
+        return self._dims[i]
 
-def _random_crop(mat: np.ndarray, seq_len: int, rng: np.random.Generator) -> np.ndarray:
-    """Random contiguous seq_len-frame crop (datasets.py:66-67); utterances
-    shorter than seq_len (excluded upstream by the ≥200-frame filter) are
-    tile-padded rather than crashing the step."""
+    def read_crop_t(self, i: int, row_start: int, n_rows: int,
+                    out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+        """(F, n_rows) crop via the native decoder; None if unavailable."""
+        if self._cache is not None or self._native is None or self._split[i] is None:
+            return None
+        path, off = self._split[i]
+        _, cols = self.dims(i)
+        return self._native.read_crop_t(path, off, row_start, n_rows, cols, out)
+
+
+def _random_crop_at(mat: np.ndarray, seq_len: int, pin: int) -> np.ndarray:
+    """Contiguous seq_len-frame crop at `pin` (datasets.py:66-67), tiled
+    cyclically for utterances shorter than seq_len (those are excluded
+    upstream by the ≥200-frame filter; tiling beats crashing the step)."""
     n = len(mat)
-    if n < seq_len:
-        reps = -(-seq_len // n)
-        mat = np.tile(mat, (reps, 1))
-        n = len(mat)
-    pin = int(rng.integers(0, n - seq_len + 1))
-    return mat[pin:pin + seq_len]
+    if pin + seq_len <= n:
+        return mat[pin:pin + seq_len]
+    idx = (pin + np.arange(seq_len)) % n
+    return mat[idx]
 
 
 class TrainLoader:
@@ -108,13 +139,22 @@ class TrainLoader:
         n_batches = len(idx) // self.batch_size
         rng = np.random.default_rng((self.seed, epoch, 3, self.process_index))
 
+        def load_one(i: int, out: np.ndarray) -> None:
+            rows, _ = self.source.dims(i)
+            hi = max(rows - seq_len + 1, 1)
+            pin = int(rng.integers(0, hi))
+            got = self.source.read_crop_t(i, pin, seq_len, out)
+            if got is None:  # python fallback (pipes/gzip/no native lib)
+                out[:] = _random_crop_at(self.source.read(i), seq_len, pin).T
+
         def produce(q: "queue.Queue"):
             try:
                 for b in range(n_batches):
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    feats = np.stack([
-                        _random_crop(self.source.read(int(i)), seq_len, rng).T
-                        for i in sel]).astype(np.float32)
+                    feat_dim = self.source.dims(int(sel[0]))[1]
+                    feats = np.empty((len(sel), feat_dim, seq_len), np.float32)
+                    for j, i in enumerate(sel):
+                        load_one(int(i), feats[j])
                     q.put((feats, self.labels[sel]))
             finally:
                 q.put(None)
