@@ -234,10 +234,17 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
 
 
 def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
-              test_ark: str, cohort_ark: Optional[str] = None) -> Dict[str, float]:
+              test_ark: str, cohort_ark: Optional[str] = None,
+              cohort_utt2spk: Optional[Dict[str, str]] = None,
+              enroll_spk2utt: Optional[Dict[str, List[str]]] = None
+              ) -> Dict[str, float]:
+    """Backends (test.sh / test2.sh parity): 'cosine', 'snorm' (adaptive
+    S-norm over cohort top-k stats), 'plda' (LDA→length-norm→PLDA LLR,
+    run.sh:323-351), 'pool' (spk2utt-pooled enrollment means, test2.sh:72-93)."""
     from pkr_tpu.eval.metrics import compute_eer, compute_min_dcf
     from pkr_tpu.eval.scoring import (adaptive_snorm, cohort_topk_stats,
-                                      cosine_scores, global_mean, read_trials,
+                                      cosine_scores, global_mean,
+                                      pooled_speaker_means, read_trials,
                                       write_scores)
     from pkr_tpu.io import load_text_vec_ark
 
@@ -245,16 +252,38 @@ def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
     test = load_text_vec_ark(test_ark)
     pairs, labels = read_trials(trials_path)
     mean = None
+    cohort_vecs = None
     if cohort_ark:
         cohort_vecs = load_text_vec_ark(cohort_ark)
         mean = global_mean(cohort_vecs)
-    scores = cosine_scores(enroll, test, pairs, mean)
-    if cfg.eval.backend == "snorm":
-        assert cohort_ark, "snorm needs a cohort ark"
-        cohort = np.stack(list(cohort_vecs.values()))
-        e_stats = cohort_topk_stats(enroll, cohort, cfg.eval.topk, mean)
-        t_stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
-        scores = adaptive_snorm(scores, pairs, e_stats, t_stats)
+
+    backend = cfg.eval.backend
+    if backend == "pool":
+        assert enroll_spk2utt, "'pool' backend needs an enroll spk2utt"
+        enroll = pooled_speaker_means(enroll, enroll_spk2utt)
+        backend = "cosine"
+
+    if backend == "plda":
+        from pkr_tpu.eval.plda import (compute_lda, length_normalize,
+                                       plda_scores, train_plda)
+
+        assert cohort_vecs and cohort_utt2spk, "plda needs cohort ark + utt2spk"
+        lda = compute_lda(cohort_vecs, cohort_utt2spk, dim=min(
+            cfg.eval.lda_dim, len(next(iter(cohort_vecs.values())))))
+
+        def prep(vs):
+            return {k: length_normalize(lda.apply(v - mean)) for k, v in vs.items()}
+
+        model = train_plda(prep(cohort_vecs), cohort_utt2spk)
+        scores = plda_scores(model, prep(enroll), prep(test), pairs)
+    else:
+        scores = cosine_scores(enroll, test, pairs, mean)
+        if backend == "snorm":
+            assert cohort_vecs is not None, "snorm needs a cohort ark"
+            cohort = np.stack(list(cohort_vecs.values()))
+            e_stats = cohort_topk_stats(enroll, cohort, cfg.eval.topk, mean)
+            t_stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
+            scores = adaptive_snorm(scores, pairs, e_stats, t_stats)
     write_scores(os.path.join(exp_dir, "scores.txt"), pairs, scores)
     results = {"eer": compute_eer(scores.tolist(), labels)}
     for p in cfg.eval.p_targets:
@@ -269,6 +298,8 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description="pkr_tpu recipe driver")
     ap.add_argument("--config", type=str, default=None, help="JSON config path")
+    ap.add_argument("--preset", type=str, default=None,
+                    help="named recipe preset (see pkr_tpu.recipes.presets)")
     ap.add_argument("--stage", type=int, default=0)
     ap.add_argument("--stop-stage", type=int, default=6)
     ap.add_argument("--data-dir", type=str, required=True,
@@ -278,7 +309,14 @@ def main(argv=None):
     ap.add_argument("--exp-dir", type=str, default="exp/run")
     args = ap.parse_args(argv)
 
-    cfg = Config.from_json(open(args.config).read()) if args.config else Config()
+    if args.preset:
+        from pkr_tpu.recipes.presets import PRESETS
+
+        cfg = PRESETS[args.preset]()
+    elif args.config:
+        cfg = Config.from_json(open(args.config).read())
+    else:
+        cfg = Config()
     os.makedirs(args.exp_dir, exist_ok=True)
     feat_dir = os.path.join(args.exp_dir, "feats")
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
@@ -306,10 +344,20 @@ def main(argv=None):
                             os.path.join(test_feat_dir, "feats.scp"), "test.iv")
         elif stage == 6 and args.trials:
             print("== stage 6: score")
+            from pkr_tpu.io import DataDir
+
+            cohort_u2s = DataDir.load(args.data_dir, names=("utt2spk",)).get("utt2spk")
+            enroll_s2u = None
+            if args.test_data_dir:
+                tdd = DataDir.load(args.test_data_dir, names=("utt2spk",))
+                enroll_s2u = {s: v.split() for s, v in
+                              tdd.make_spk2utt().get("spk2utt").items()}
             res = run_score(cfg, args.exp_dir, args.trials,
                             os.path.join(args.exp_dir, "test.iv"),
                             os.path.join(args.exp_dir, "test.iv"),
-                            cohort_ark=os.path.join(args.exp_dir, "train.iv"))
+                            cohort_ark=os.path.join(args.exp_dir, "train.iv"),
+                            cohort_utt2spk=cohort_u2s,
+                            enroll_spk2utt=enroll_s2u)
             print(json.dumps(res, indent=2))
     return 0
 

@@ -95,3 +95,52 @@ def test_config_json_roundtrip(tmp_path):
     assert back.train.epochs == 5
     assert back.train.chunk_size == (200, 400)
     assert back.frontend.fbank.num_mel_bins == 40
+
+
+def test_run_score_backends(tmp_path):
+    """plda / snorm / pool / cosine backends through the driver's scorer."""
+    from pkr_tpu.config import Config, EvalConfig
+    from pkr_tpu.io import write_text_vec_ark
+    from pkr_tpu.recipes.run import run_score
+
+    rng = np.random.default_rng(0)
+    d = 16
+    spk_means = rng.standard_normal((6, d)) * 3
+    cohort, cohort_u2s = {}, {}
+    for i in range(6):
+        for j in range(8):
+            cohort[f"s{i}-c{j}"] = (spk_means[i] + rng.standard_normal(d)).astype(np.float32)
+            cohort_u2s[f"s{i}-c{j}"] = f"s{i}"
+    enroll = {f"s{i}": (spk_means[i] + rng.standard_normal(d)).astype(np.float32)
+              for i in range(6)}
+    test = {f"s{i}-t": (spk_means[i] + rng.standard_normal(d)).astype(np.float32)
+            for i in range(6)}
+    trials = tmp_path / "trials"
+    with open(trials, "w") as f:
+        for e in enroll:
+            for t, in zip(test):
+                tgt = "target" if t.startswith(e + "-") else "nontarget"
+                f.write(f"{e} {t} {tgt}\n")
+    write_text_vec_ark(str(tmp_path / "enroll.iv"), enroll)
+    write_text_vec_ark(str(tmp_path / "test.iv"), test)
+    write_text_vec_ark(str(tmp_path / "cohort.iv"), cohort)
+
+    for backend in ("cosine", "snorm", "plda"):
+        cfg = Config(eval=EvalConfig(backend=backend, topk=10, lda_dim=8))
+        res = run_score(cfg, str(tmp_path), str(trials),
+                        str(tmp_path / "enroll.iv"), str(tmp_path / "test.iv"),
+                        cohort_ark=str(tmp_path / "cohort.iv"),
+                        cohort_utt2spk=cohort_u2s)
+        assert res["eer"] < 0.35, (backend, res)
+
+    # pool backend: enroll ark holds utterances, spk2utt pools them
+    enroll_utts = {f"s{i}-e{j}": (spk_means[i] + rng.standard_normal(d)).astype(np.float32)
+                   for i in range(6) for j in range(2)}
+    write_text_vec_ark(str(tmp_path / "enroll_utts.iv"), enroll_utts)
+    spk2utt = {f"s{i}": [f"s{i}-e0", f"s{i}-e1"] for i in range(6)}
+    cfg = Config(eval=EvalConfig(backend="pool"))
+    res = run_score(cfg, str(tmp_path), str(trials),
+                    str(tmp_path / "enroll_utts.iv"), str(tmp_path / "test.iv"),
+                    cohort_ark=str(tmp_path / "cohort.iv"),
+                    enroll_spk2utt=spk2utt)
+    assert res["eer"] < 0.35, res
