@@ -117,3 +117,40 @@ def test_bucket_lengths():
     np.testing.assert_array_equal(bucket_lengths([1, 99, 100, 101], 100),
                                   [100, 100, 100, 200])
     np.testing.assert_array_equal(bucket_lengths([350], 100, 300), [300])
+
+
+def test_materialized_source(feat_dir, tmp_path):
+    from pkr_tpu.data.materialize import MaterializedSource, materialize
+    from pkr_tpu.data.sampler import BalancedRepetitionSampler
+
+    src_dir, utts = feat_dir
+    idx = materialize(str(src_dir / "f.scp"), str(tmp_path / "pack"), dtype="float32")
+    src = MaterializedSource(idx)
+    assert set(src.utts) == set(utts)
+    for i, utt in enumerate(src.utts):
+        np.testing.assert_allclose(src.read(i), utts[utt], rtol=1e-6)
+        assert src.dims(i) == utts[utt].shape
+        crop = src.read_crop_t(i, 5, 10)
+        np.testing.assert_allclose(crop, utts[utt][5:15].T, rtol=1e-6)
+    # wrap-around crop
+    rows = src.dims(0)[0]
+    crop = src.read_crop_t(0, rows - 3, 8)
+    idx2 = (rows - 3 + np.arange(8)) % rows
+    np.testing.assert_allclose(crop, utts[src.utts[0]][idx2].T, rtol=1e-6)
+    # drop-in to TrainLoader
+    labels = [0, 1] * 6
+    loader = TrainLoader(src, labels, BalancedRepetitionSampler(src.utts, labels),
+                         batch_size=4, chunk=16, seed=0)
+    feats, labs = next(iter(loader.epoch(0)))
+    assert feats.shape == (4, 8, 16)
+
+
+def test_materialize_fp16_precision(feat_dir, tmp_path):
+    from pkr_tpu.data.materialize import MaterializedSource, materialize
+
+    src_dir, utts = feat_dir
+    idx = materialize(str(src_dir / "f.scp"), str(tmp_path / "pack16"))
+    src = MaterializedSource(idx)
+    for i, utt in enumerate(src.utts):
+        err = np.abs(src.read(i) - utts[utt]).max()
+        assert err < 0.01, err
