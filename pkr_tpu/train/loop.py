@@ -41,13 +41,30 @@ def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarra
 
 
 def make_train_step(model, tx=None, lr_schedule=None,
-                    momentum: float = 0.9, weight_decay: float = 5e-4):
+                    momentum: float = 0.9, weight_decay: float = 5e-4,
+                    flash_aam: bool = False, flash_interpret: bool = False):
+    """flash_aam=True (loss='AAM' models only) routes the head through the
+    Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
+    never materialize — the scaling path for very large speaker counts.
+    Train-time top-k metrics are unavailable in that mode (reported as -1);
+    validation still uses the dense head."""
     tx = tx or make_optimizer(momentum, weight_decay)
 
     @jax.jit
     def train_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray,
                    lr: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
+            if flash_aam:
+                from pkr_tpu.models.speaker_model import SpeakerModel
+                from pkr_tpu.ops.flash_aam import flash_aam_loss
+
+                emb, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, None, True, mutable=["batch_stats"],
+                    method=SpeakerModel.embed)
+                loss = flash_aam_loss(emb, params["aam_weight"], labels,
+                                      model.m, model.s, 2048, flash_interpret)
+                return loss, (None, updates["batch_stats"])
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 feats, labels, train=True, mutable=["batch_stats"])
@@ -62,11 +79,15 @@ def make_train_step(model, tx=None, lr_schedule=None,
         params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
                               state.params, updates)
         bsz = labels.shape[0]
-        metrics = {
-            "loss": loss,
-            "acc1": topk_correct(logits, labels, 1) / bsz,
-            "acc5": topk_correct(logits, labels, 5) / bsz,
-        }
+        if logits is None:  # flash path: logits never exist
+            no_metric = jnp.asarray(-1.0, jnp.float32)
+            metrics = {"loss": loss, "acc1": no_metric, "acc5": no_metric}
+        else:
+            metrics = {
+                "loss": loss,
+                "acc1": topk_correct(logits, labels, 1) / bsz,
+                "acc5": topk_correct(logits, labels, 5) / bsz,
+            }
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=opt_state, step=state.step + 1)
         return new_state, metrics

@@ -1,0 +1,98 @@
+"""Flash AAM loss (Pallas): value + gradient parity with the dense path.
+
+Runs in interpret mode on the CPU mesh; the same kernel compiles for TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pkr_tpu.ops.flash_aam import flash_aam_loss, reference_aam_loss
+
+
+def make(B=16, D=32, C=50, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, B))
+    return emb, w, labels
+
+
+@pytest.mark.parametrize("C,tile", [(50, 128), (300, 128), (257, 128)])
+def test_value_parity(C, tile):
+    emb, w, labels = make(C=C)
+    got = flash_aam_loss(emb, w, labels, 0.2, 30.0, tile, True)
+    ref = reference_aam_loss(emb, w, labels, 0.2, 30.0)
+    assert abs(float(got) - float(ref)) < 1e-4, (float(got), float(ref))
+
+
+def test_grad_parity():
+    emb, w, labels = make(B=8, D=16, C=200, seed=1)
+
+    g_emb, g_w = jax.grad(
+        lambda e, w: flash_aam_loss(e, w, labels, 0.2, 30.0, 128, True),
+        argnums=(0, 1))(emb, w)
+    r_emb, r_w = jax.grad(
+        lambda e, w: reference_aam_loss(e, w, labels, 0.2, 30.0),
+        argnums=(0, 1))(emb, w)
+    np.testing.assert_allclose(np.asarray(g_emb), np.asarray(r_emb),
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(r_w),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_grad_with_margin_branch_hits():
+    """Embeddings forced near the weight directions so both margin branches
+    (phi vs cos-mm) are exercised."""
+    rng = np.random.default_rng(2)
+    C, D = 64, 16
+    w = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    labels = jnp.arange(8) % C
+    # half aligned (cos≈1 → phi branch), half anti-aligned (cos≈-1 → guard)
+    base = np.asarray(w)[np.asarray(labels)]
+    emb = jnp.asarray(np.concatenate([base[:4], -base[4:]]) * 3.0, jnp.float32)
+
+    got = flash_aam_loss(emb, w, labels, 0.2, 30.0, 128, True)
+    ref = reference_aam_loss(emb, w, labels, 0.2, 30.0)
+    assert abs(float(got) - float(ref)) < 1e-3
+
+    g = jax.grad(lambda e: flash_aam_loss(e, w, labels, 0.2, 30.0, 128, True))(emb)
+    r = jax.grad(lambda e: reference_aam_loss(e, w, labels, 0.2, 30.0))(emb)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=5e-3, atol=1e-6)
+
+
+def test_multi_tile_matches_single_tile():
+    emb, w, labels = make(B=8, D=16, C=512, seed=3)
+    a = flash_aam_loss(emb, w, labels, 0.2, 30.0, 128, True)
+    b = flash_aam_loss(emb, w, labels, 0.2, 30.0, 512, True)
+    assert abs(float(a) - float(b)) < 1e-5
+
+
+def test_flash_train_step_matches_dense():
+    """One optimizer step with the flash loss ≈ the dense head step."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=12, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 12)
+    state0 = create_train_state(model, jax.random.key(0), feats, labels)
+
+    _, dense_step = make_train_step(model)
+    _, flash_step = make_train_step(model, flash_aam=True, flash_interpret=True)
+    lr = jnp.asarray(0.05, jnp.float32)
+    s_dense, m_dense = dense_step(state0, feats, labels, lr)
+    s_flash, m_flash = flash_step(state0, feats, labels, lr)
+    assert abs(float(m_dense["loss"]) - float(m_flash["loss"])) < 1e-3
+    assert float(m_flash["acc1"]) == -1.0
+    np.testing.assert_allclose(
+        np.asarray(s_flash.params["aam_weight"]),
+        np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_flash.params["fc1"]["kernel"]),
+        np.asarray(s_dense.params["fc1"]["kernel"]), rtol=1e-3, atol=1e-5)
