@@ -44,6 +44,7 @@ class TrainConfig:
     print_freq: int = 100
     pretrained: Optional[str] = None
     resume: bool = False
+    flash_aam: bool = False  # Pallas flash classifier loss (large spk counts)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,176 @@
+"""Corpus-level augmentation: build augmented/speed-perturbed data dirs.
+
+The reference doubles its corpus by rewriting wav.scp entries into
+wav-reverberate pipe commands (steps/data/{augment,reverberate}_data_dir.py,
+invoked at run.sh:93-148) and supports sox speed perturbation
+(utils/perturb_data_dir_speed.sh).  Here the data dir carries *declarative*
+augmentation tables instead of shell pipes:
+
+- ``utt2aug``:  '<kind>' per utterance (noise|music|babble|reverb), applied
+  on device by run_features via pkr_tpu.data.augment just before the fused
+  frontend;
+- ``utt2speed``: playback factor per utterance, applied on host right after
+  wav decode.
+
+Augmented copies get the reference's utt suffixes ('-noise', '-music',
+'-babble', '-reverb'; speed copies get Kaldi's 'sp<factor>-' prefix) so
+downstream tables stay sorted and the speaker labels follow automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pkr_tpu.io.datadir import DataDir
+
+AUG_KINDS = ("noise", "music", "babble", "reverb")
+
+
+def augment_data_dir(dd: DataDir, kinds: Sequence[str] = AUG_KINDS,
+                     seed: int = 0) -> DataDir:
+    """clean + one augmented copy per utterance with a random kind
+    (augment_data_dir.py composition; run.sh:162-164 doubles the corpus)."""
+    rng = np.random.default_rng(seed)
+    utt2spk = dict(dd["utt2spk"])
+    wav = dict(dd["wav.scp"])
+    utt2aug = {u: "none" for u in utt2spk}
+    extra = {n: dict(dd[n]) for n in ("utt2speed",) if n in dd}
+    for utt in sorted(dd["utt2spk"]):
+        kind = kinds[rng.integers(0, len(kinds))]
+        new = f"{utt}-{kind}"
+        utt2spk[new] = dd["utt2spk"][utt]
+        wav[new] = dd["wav.scp"][utt]
+        utt2aug[new] = kind
+        for n, t in extra.items():
+            t[new] = dd[n][utt]
+    tables = {"utt2spk": utt2spk, "wav.scp": wav, "utt2aug": utt2aug}
+    tables.update(extra)
+    return DataDir(tables).make_spk2utt()
+
+
+def perturb_data_dir_speed(dd: DataDir, factors: Sequence[float] = (0.9, 1.1),
+                           keep_original: bool = True) -> DataDir:
+    """Speed-perturbed copies 'sp<f>-<utt>' (perturb_data_dir_speed.sh)."""
+    utt2spk, wav, utt2speed = {}, {}, {}
+    extra = {n: {} for n in ("utt2aug",) if n in dd}
+    if keep_original:
+        utt2spk.update(dd["utt2spk"])
+        wav.update(dd["wav.scp"])
+        utt2speed.update({u: "1.0" for u in dd["utt2spk"]})
+        for n in extra:
+            extra[n].update(dd[n])
+    for f in factors:
+        for utt, spk in dd["utt2spk"].items():
+            new = f"sp{f}-{utt}"
+            utt2spk[new] = f"sp{f}-{spk}"  # Kaldi convention: new speaker ids
+            wav[new] = dd["wav.scp"][utt]
+            utt2speed[new] = str(f)
+            for n in extra:
+                extra[n][new] = dd[n][utt]
+    tables = {"utt2spk": utt2spk, "wav.scp": wav, "utt2speed": utt2speed}
+    tables.update(extra)
+    return DataDir(tables).make_spk2utt()
+
+
+class AugmentPools:
+    """MUSAN/RIR waveform pools, padded to fixed lengths for device mixing."""
+
+    def __init__(self, noise=None, music=None, speech=None, rirs=None,
+                 seed: int = 0):
+        self.pools: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        if noise is not None:
+            self.pools["noise"] = noise
+        if music is not None:
+            self.pools["music"] = music
+        if speech is not None:
+            self.pools["babble"] = speech
+        self.rirs = rirs
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def from_wavs(wavs: List[np.ndarray], max_len: int) -> Tuple[np.ndarray, np.ndarray]:
+        mats = np.zeros((len(wavs), max_len), np.float32)
+        lens = np.zeros(len(wavs), np.int64)
+        for i, w in enumerate(wavs):
+            n = min(len(w), max_len)
+            mats[i, :n] = w[:n]
+            lens[i] = n
+        return mats, lens
+
+    @staticmethod
+    def load(datadirs: Dict[str, DataDir], rir_wavs: Optional[List[np.ndarray]] = None,
+             max_len_sec: float = 6.0, rate: int = 16000,
+             max_items: int = 200, seed: int = 0) -> "AugmentPools":
+        """Read pool audio from MUSAN-style data dirs (make_musan output)."""
+        from pkr_tpu.io.wav import read_wav
+
+        rng = np.random.default_rng(seed)
+        max_len = int(max_len_sec * rate)
+        kw = {}
+        for kind_src, kind_dst in (("noise", "noise"), ("music", "music"),
+                                   ("speech", "speech")):
+            dd = datadirs.get(kind_src)
+            if dd is None:
+                continue
+            entries = list(dd["wav.scp"].values())
+            if len(entries) > max_items:
+                entries = [entries[i] for i in
+                           rng.choice(len(entries), max_items, replace=False)]
+            wavs = [read_wav(rx)[0] for rx in entries]
+            kw[kind_dst] = AugmentPools.from_wavs(wavs, max_len)
+        rirs = None
+        if rir_wavs:
+            rirs = AugmentPools.from_wavs(rir_wavs, int(0.5 * rate))
+        return AugmentPools(noise=kw.get("noise"), music=kw.get("music"),
+                            speech=kw.get("speech"), rirs=rirs, seed=seed)
+
+    SNR = {"noise": (15.0, 10.0, 5.0, 0.0),  # run.sh:136-144
+           "music": (15.0, 10.0, 8.0, 5.0),
+           "babble": (20.0, 17.0, 15.0, 13.0)}
+
+    def apply(self, wav: np.ndarray, length: int, kind: str) -> np.ndarray:
+        """Apply one augmentation kind to one (device-bound) waveform."""
+        import jax.numpy as jnp
+
+        from pkr_tpu.data.augment import add_noise_snr, reverberate
+
+        if kind in ("none", ""):
+            return wav
+        if kind == "reverb":
+            if self.rirs is None:
+                return wav
+            mats, lens = self.rirs
+            k = int(self.rng.integers(0, len(mats)))
+            return np.asarray(reverberate(jnp.asarray(wav), jnp.asarray(length),
+                                          jnp.asarray(mats[k]), jnp.asarray(int(lens[k]))))
+        if kind == "babble":
+            pool = self.pools.get("babble")
+            if pool is None:
+                return wav
+            mats, lens = pool
+            out = jnp.asarray(wav)
+            n_src = int(self.rng.integers(3, 8))
+            snr = float(self.rng.choice(self.SNR["babble"]))
+            for _ in range(n_src):
+                k = int(self.rng.integers(0, len(mats)))
+                out = add_noise_snr(out, jnp.asarray(length), jnp.asarray(mats[k]),
+                                    jnp.asarray(int(lens[k])),
+                                    jnp.asarray(snr + 3.0 * np.log(n_src)),
+                                    jnp.asarray(int(self.rng.integers(0, max(int(lens[k]), 1)))))
+            return np.asarray(out)
+        pool = self.pools.get(kind)
+        if pool is None:
+            return wav
+        mats, lens = pool
+        k = int(self.rng.integers(0, len(mats)))
+        snr = float(self.rng.choice(self.SNR[kind]))
+        import jax.numpy as jnp  # noqa: F811
+
+        from pkr_tpu.data.augment import add_noise_snr  # noqa: F811
+
+        return np.asarray(add_noise_snr(
+            jnp.asarray(wav), jnp.asarray(length), jnp.asarray(mats[k]),
+            jnp.asarray(int(lens[k])), jnp.asarray(snr),
+            jnp.asarray(int(self.rng.integers(0, max(int(lens[k]), 1))))))

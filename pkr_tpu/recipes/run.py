@@ -38,8 +38,13 @@ def _stage_range(args):
 
 def run_features(data_dir: str, out_dir: str, batch: int = 8,
                  quantum_sec: float = 2.0, dither: float = 1.0,
-                 apply_vad: bool = True, seed: int = 0) -> None:
-    """Batched on-device feature extraction over a data dir's wav.scp."""
+                 apply_vad: bool = True, seed: int = 0,
+                 pools=None) -> None:
+    """Batched on-device feature extraction over a data dir's wav.scp.
+
+    Honors declarative augmentation tables when present (utt2speed applied
+    at decode, utt2aug mixed on device via `pools`, an
+    recipes.augment_dir.AugmentPools)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +54,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
     from pkr_tpu.io.wav import read_wav
 
     dd = DataDir.load(data_dir)
+    utt2aug = dd.get("utt2aug")
+    utt2speed = dd.get("utt2speed")
     fb = FbankConfig(dither=dither)
     cfg = FrontendConfig(fbank=fb)
     key = jax.random.key(seed)
@@ -88,6 +95,14 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
         for utt, rx in entries:
             wav, rate = read_wav(rx)
             assert rate == fb.sample_frequency, (utt, rate)
+            speed = float(utt2speed.get(utt, "1.0")) if utt2speed else 1.0
+            if speed != 1.0:
+                from pkr_tpu.data.augment import speed_perturb
+
+                wav = speed_perturb(wav, speed)
+            kind = utt2aug.get(utt, "none") if utt2aug else "none"
+            if pools is not None and kind != "none":
+                wav = pools.apply(wav.astype(np.float32), len(wav), kind)
             L = int(np.ceil(max(len(wav), quantum) / quantum) * quantum)
             buckets.setdefault(L, []).append((utt, wav))
             if len(buckets[L]) == batch:
@@ -201,7 +216,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        lr_final=cfg.train.lr_final, momentum=cfg.train.momentum,
                        weight_decay=cfg.train.weight_decay, mesh=mesh,
                        start_epoch=start_epoch, print_freq=cfg.train.print_freq,
-                       on_epoch_end=on_epoch_end, logger=logger)
+                       on_epoch_end=on_epoch_end, logger=logger,
+                       flash_aam=cfg.train.flash_aam)
 
 
 def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> None:

@@ -118,12 +118,14 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                        mesh=None, start_epoch: int = 0,
                        print_freq: int = 100,
                        on_epoch_end: Optional[Callable] = None,
-                       logger: Optional[ProgressLogger] = None) -> TrainState:
+                       logger: Optional[ProgressLogger] = None,
+                       flash_aam: bool = False) -> TrainState:
     """The epoch loop (train → validate → best-tracking), mirroring
     train_resnet.py:262-289 but single-program."""
     log = logger or ProgressLogger()
     tx, train_step = make_train_step(model, None, momentum=momentum,
-                                     weight_decay=weight_decay)
+                                     weight_decay=weight_decay,
+                                     flash_aam=flash_aam)
     eval_step = make_eval_step(model)
     schedule = cosine_epoch_lr(lr0, epochs, lr_final)
     batch_shard = None

@@ -106,3 +106,58 @@ def test_full_pipeline(tmp_path_factory, tiny_cfg):
     eer = compute_eer(scores.tolist(), labels)
     # 4 well-separated synthetic speakers after 3 epochs: far better than chance
     assert eer < 0.35, f"EER {eer} too high — pipeline not learning"
+
+
+def test_run_features_with_augmentation(tmp_path):
+    """Stage-1 features over an augmented data dir: utt2aug copies mix MUSAN
+    noise on device, utt2speed copies resample — feature counts change
+    accordingly and everything stays finite."""
+    import jax
+    from pkr_tpu.io import kaldi_ark
+    from pkr_tpu.recipes.augment_dir import (AugmentPools, augment_data_dir,
+                                             perturb_data_dir_speed)
+
+    data_dir = str(tmp_path / "data")
+    synth_corpus(data_dir, n_spk=2, n_utt=2, seconds=1.0)
+    dd = DataDir.load(data_dir)
+    rng = np.random.default_rng(0)
+    pools = AugmentPools(
+        noise=AugmentPools.from_wavs(
+            [rng.standard_normal(8000).astype(np.float32) * 50 for _ in range(3)], 16000),
+        music=AugmentPools.from_wavs(
+            [np.sin(np.arange(12000) / 20).astype(np.float32) * 500], 16000),
+        speech=AugmentPools.from_wavs(
+            [rng.standard_normal(6000).astype(np.float32) * 300 for _ in range(8)], 16000),
+        rirs=AugmentPools.from_wavs(
+            [np.concatenate([[1.0], np.exp(-np.arange(400) / 60) * 0.3]).astype(np.float32)], 8000),
+        seed=0)
+
+    aug = augment_data_dir(dd, seed=1)
+    sp = perturb_data_dir_speed(aug, factors=(0.9,))
+    aug_dir = str(tmp_path / "data_aug")
+    sp.save(aug_dir)
+    feat_dir = str(tmp_path / "feats_aug")
+    recipe.run_features(aug_dir, feat_dir, batch=4, dither=0.0, pools=pools)
+
+    feats = dict(kaldi_ark.read_mat_scp(os.path.join(feat_dir, "feats.scp")))
+    assert set(feats) == set(sp.utts)
+    for utt, mat in feats.items():
+        assert np.isfinite(mat).all(), utt
+        assert mat.shape[1] == 40
+    # speed 0.9 → ~1/0.9 more frames than the original; check the PRE-VAD
+    # frame count (the vad.scp vector length) since VAD can trim either
+    from pkr_tpu.io import read_vec_flt
+
+    vad_scp = dict(l.split(None, 1) for l in
+                   open(os.path.join(feat_dir, "vad.scp")).read().strip().split("\n"))
+    base = [u for u in dd.utts][0]
+    n_base = len(read_vec_flt(vad_scp[base].strip()))
+    n_sp = len(read_vec_flt(vad_scp[f"sp0.9-{base}"].strip()))
+    assert abs(n_sp - round(n_base / 0.9)) <= 2, (n_base, n_sp)
+    # augmented copy differs from the clean one
+    kind = sp["utt2aug"].get(f"{base}-noise") or None
+    for u in sp.utts:
+        if u.startswith(base + "-"):
+            a, b = feats[u], feats[base]
+            n = min(len(a), len(b))
+            assert np.abs(a[:n] - b[:n]).max() > 0.01

@@ -144,3 +144,25 @@ def test_run_score_backends(tmp_path):
                     cohort_ark=str(tmp_path / "cohort.iv"),
                     enroll_spk2utt=spk2utt)
     assert res["eer"] < 0.35, res
+
+
+def test_augment_and_perturb_data_dirs():
+    from pkr_tpu.recipes.augment_dir import (augment_data_dir,
+                                             perturb_data_dir_speed)
+
+    dd = DataDir({"utt2spk": {f"u{i}": f"s{i % 2}" for i in range(6)},
+                  "wav.scp": {f"u{i}": f"/w/u{i}.wav" for i in range(6)}}).make_spk2utt()
+    aug = augment_data_dir(dd, seed=0)
+    assert aug.num_utts == 12  # doubled (run.sh:162-164)
+    assert aug.validate() == []
+    kinds = {aug["utt2aug"][u] for u in aug.utts if "-" in u and u not in dd.utts}
+    assert kinds <= {"noise", "music", "babble", "reverb"}
+    assert all(aug["utt2aug"][u] == "none" for u in dd.utts)
+    # speaker labels follow the copies
+    assert aug["utt2spk"]["u0-" + aug["utt2aug"][[u for u in aug.utts if u.startswith("u0-")][0]]] == "s0"
+
+    sp = perturb_data_dir_speed(dd, factors=(0.9, 1.1))
+    assert sp.num_utts == 18
+    assert sp["utt2speed"]["sp0.9-u0"] == "0.9"
+    assert sp["utt2spk"]["sp1.1-u3"] == "sp1.1-s1"
+    assert sp.validate() == []
