@@ -73,11 +73,18 @@ def make_train_step(model, tx=None, lr_schedule=None,
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # NaN guard (failure detection the reference lacked, SURVEY §5): a
+        # non-finite loss skips the whole update — params, momentum and all —
+        # instead of poisoning the run
+        ok = jnp.isfinite(loss)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
-                              state.params, updates)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 new_opt_state, state.opt_state)
+        params = jax.tree.map(
+            lambda p, u: (p + jnp.where(ok, u, jnp.zeros_like(u))).astype(p.dtype),
+            state.params, updates)
         bsz = labels.shape[0]
         if logits is None:  # flash path: logits never exist
             no_metric = jnp.asarray(-1.0, jnp.float32)

@@ -164,3 +164,29 @@ def test_import_torch_checkpoint():
     np.testing.assert_array_equal(
         np.asarray(out["params"]["_trunk"]["layer1_0"]["ConvBN_0"]["Conv_0"]["kernel"]),
         np.asarray(variables["params"]["_trunk"]["layer1_0"]["ConvBN_0"]["Conv_0"]["kernel"]))
+
+
+def test_nan_guard_skips_update(tiny_setup):
+    """A batch that produces a non-finite loss must leave params, momentum
+    and step-weights untouched (failure detection, SURVEY §5 gap)."""
+    model, state, feats, labels = tiny_setup
+    _, step = make_train_step(model)
+    bad = np.full_like(feats, np.nan)
+    new_state, metrics = step(state, jnp.asarray(bad), jnp.asarray(labels),
+                              jnp.asarray(0.05, jnp.float32))
+    assert not np.isfinite(float(metrics["loss"]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), jax.device_get(new_state.params),
+        jax.device_get(state.params))
+    # and a good batch afterwards still works
+    s2, m2 = step(new_state, jnp.asarray(feats), jnp.asarray(labels),
+                  jnp.asarray(0.05, jnp.float32))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_distributed_helpers():
+    from pkr_tpu.parallel.distributed import host_info, initialize
+
+    initialize()  # single-host no-op
+    idx, count, local = host_info()
+    assert idx == 0 and count == 1 and local == 8  # test mesh has 8 cpu devs
