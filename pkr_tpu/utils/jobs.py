@@ -21,7 +21,7 @@ import multiprocessing as mp
 import os
 import time
 import traceback
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 
 class JobError(RuntimeError):
@@ -88,3 +88,18 @@ def run_jobs(fn: Callable[[Any], Any], items: Sequence[Any],
     if failures:
         raise JobError(failures, log_dir)
     return [r for _, _, r in outs]
+
+
+def summarize_logs(log_dir: str, patterns: Sequence[str] = ("WARNING", "ERROR",
+                                                            "Traceback")) -> Dict[str, int]:
+    """Scan a job-log directory for warning/error lines and return counts per
+    pattern (the utils/summarize_warnings.pl triage role, SURVEY §4.4)."""
+    import glob
+
+    counts = {p: 0 for p in patterns}
+    for path in sorted(glob.glob(os.path.join(log_dir, "*.log"))):
+        for line in open(path, errors="replace"):
+            for p in patterns:
+                if p in line:
+                    counts[p] += 1
+    return counts

@@ -103,3 +103,12 @@ def test_tsne_separates_clusters():
     labels = np.array([0] * 15 + [1] * 15)
     purity = (labels[nn] == labels).mean()
     assert purity > 0.8, purity
+
+
+def test_summarize_logs(tmp_path):
+    from pkr_tpu.utils.jobs import summarize_logs
+
+    (tmp_path / "a.1.log").write_text("ok\nWARNING: x\nWARNING: y\n")
+    (tmp_path / "a.2.log").write_text("Traceback (most recent call last):\nERROR boom\n")
+    counts = summarize_logs(str(tmp_path))
+    assert counts == {"WARNING": 2, "ERROR": 1, "Traceback": 1}
