@@ -36,7 +36,7 @@ class DenseLayer(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, kernel_init=conv_init)(y)
         return jnp.concatenate([x, y], axis=-1)
 
@@ -68,7 +68,7 @@ class DenseNet(nn.Module):
         if x.ndim == 3:
             x = x[..., None]  # (B, F, T, 1)
         x = x.astype(self.dtype)
-        x = nn.Conv(self.num_init_features, (7, 7), (2, 2), padding="SAME",
+        x = nn.Conv(self.num_init_features, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_init, name="stem")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -37,7 +37,11 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+        # explicit symmetric padding (torch Conv2d padding=k//2): flax "SAME"
+        # pads asymmetrically under stride 2, which shifts the taps and
+        # breaks checkpoint-import parity
+        pad = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel]
+        x = nn.Conv(self.features, self.kernel, self.strides, padding=pad,
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_init)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -149,7 +153,7 @@ class ThinResNet(nn.Module):
         if x.ndim == 3:
             x = x[..., None]
         x = x.astype(self.dtype)
-        x = nn.Conv(8, (7, 7), (1, 1), padding="SAME", use_bias=False,
+        x = nn.Conv(8, (7, 7), (1, 1), padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_init, name="stem")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
