@@ -226,3 +226,17 @@ class DataDir:
         nf = self.tables.get("utt2num_frames", {})
         keep = [u for u, n in nf.items() if int(n) >= min_frames]
         return self.filter_utts(keep)
+
+
+def compute_utt2dur(dd: "DataDir", rate_hint: int = 16000) -> "DataDir":
+    """Fill utt2dur (seconds) by reading wav headers
+    (utils/data/get_utt2dur.sh role; pipes are decoded to count samples)."""
+    from pkr_tpu.io.wav import read_wav
+
+    utt2dur = {}
+    for utt, rx in dd.get("wav.scp").items():
+        wav, rate = read_wav(rx)
+        utt2dur[utt] = f"{len(wav) / rate:.3f}"
+    new = dict(dd.tables)
+    new["utt2dur"] = utt2dur
+    return DataDir(new)

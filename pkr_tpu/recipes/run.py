@@ -309,6 +309,33 @@ def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
     return results
 
 
+def run_backend_stats(cfg, exp_dir: str, data_dir: str) -> None:
+    """Write the backend artifacts the reference recipes materialize
+    (run_aam_v2.sh:139-174): mean.vec (binary Kaldi vector), per-speaker
+    cohort means (text ark), and the cohort top-k mean/std table."""
+    from pkr_tpu.eval.scoring import (cohort_topk_stats, global_mean,
+                                      speaker_means)
+    from pkr_tpu.io import DataDir, load_text_vec_ark, write_text_vec_ark, write_vec_flt
+
+    train = load_text_vec_ark(os.path.join(exp_dir, "train.iv"))
+    mean = global_mean(train)
+    write_vec_flt(os.path.join(exp_dir, "mean.vec"), mean.astype(np.float32))
+    utt2spk = DataDir.load(data_dir, names=("utt2spk",)).get("utt2spk")
+    if utt2spk:
+        spk_means = speaker_means(train, utt2spk)
+        write_text_vec_ark(os.path.join(exp_dir, "spk_xvector.iv"), spk_means)
+        cohort = np.stack(list(spk_means.values()))
+    else:
+        cohort = np.stack(list(train.values()))
+    test_path = os.path.join(exp_dir, "test.iv")
+    if os.path.exists(test_path):
+        test = load_text_vec_ark(test_path)
+        stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
+        with open(os.path.join(exp_dir, "topk_mean_std"), "w") as f:
+            for k, (mu, sd) in stats.items():
+                f.write(f"{k} {mu} {sd}\n")
+
+
 def main(argv=None):
     from pkr_tpu.config import Config
 
@@ -323,6 +350,8 @@ def main(argv=None):
     ap.add_argument("--test-data-dir", type=str, default=None)
     ap.add_argument("--trials", type=str, default=None)
     ap.add_argument("--exp-dir", type=str, default="exp/run")
+    ap.add_argument("--backend", type=str, default=None,
+                    help="override eval backend (cosine|snorm|plda|pool)")
     args = ap.parse_args(argv)
 
     if args.preset:
@@ -333,6 +362,11 @@ def main(argv=None):
         cfg = Config.from_json(open(args.config).read())
     else:
         cfg = Config()
+    if args.backend:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+            cfg.eval, backend=args.backend))
     os.makedirs(args.exp_dir, exist_ok=True)
     feat_dir = os.path.join(args.exp_dir, "feats")
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
@@ -358,6 +392,9 @@ def main(argv=None):
             if args.test_data_dir:
                 run_extract(cfg, feat_dir, args.exp_dir,
                             os.path.join(test_feat_dir, "feats.scp"), "test.iv")
+        elif stage == 5:
+            print("== stage 5: backend stats")
+            run_backend_stats(cfg, args.exp_dir, args.data_dir)
         elif stage == 6 and args.trials:
             print("== stage 6: score")
             from pkr_tpu.io import DataDir

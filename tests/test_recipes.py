@@ -166,3 +166,37 @@ def test_augment_and_perturb_data_dirs():
     assert sp["utt2speed"]["sp0.9-u0"] == "0.9"
     assert sp["utt2spk"]["sp1.1-u3"] == "sp1.1-s1"
     assert sp.validate() == []
+
+
+def test_backend_stats_stage(tmp_path):
+    from pkr_tpu.config import Config
+    from pkr_tpu.io import load_text_vec_ark, read_vec_flt, write_text_vec_ark
+    from pkr_tpu.recipes.run import run_backend_stats
+
+    rng = np.random.default_rng(0)
+    train = {f"s{i}-u{j}": rng.standard_normal(8).astype(np.float32)
+             for i in range(3) for j in range(4)}
+    test = {f"t{i}": rng.standard_normal(8).astype(np.float32) for i in range(5)}
+    write_text_vec_ark(str(tmp_path / "train.iv"), train)
+    write_text_vec_ark(str(tmp_path / "test.iv"), test)
+    data_dir = tmp_path / "data"
+    DataDir({"utt2spk": {k: k.split("-")[0] for k in train}}).make_spk2utt().save(str(data_dir))
+
+    run_backend_stats(Config(), str(tmp_path), str(data_dir))
+    mean = read_vec_flt(str(tmp_path / "mean.vec"))
+    np.testing.assert_allclose(mean, np.mean(list(train.values()), axis=0), rtol=1e-5)
+    spk = load_text_vec_ark(str(tmp_path / "spk_xvector.iv"))
+    assert set(spk) == {"s0", "s1", "s2"}
+    stats = dict(l.split(None, 1) for l in open(tmp_path / "topk_mean_std"))
+    assert set(stats) == set(test)
+
+
+def test_compute_utt2dur(tmp_path):
+    from pkr_tpu.io.datadir import compute_utt2dur
+    from pkr_tpu.io.wav import write_wav
+
+    p = tmp_path / "a.wav"
+    write_wav(str(p), np.zeros(8000, np.float32), 16000)
+    dd = DataDir({"wav.scp": {"a": str(p)}, "utt2spk": {"a": "s"}})
+    out = compute_utt2dur(dd)
+    assert abs(float(out["utt2dur"]["a"]) - 0.5) < 1e-3
