@@ -37,10 +37,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        # explicit symmetric padding (torch Conv2d padding=k//2): flax "SAME"
-        # pads asymmetrically under stride 2, which shifts the taps and
-        # breaks checkpoint-import parity
-        pad = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel]
+        # torch Conv2d(padding=k//2) semantics: for stride 1 that IS flax
+        # "SAME" (kept for XLA's native conv-padding path); under stride 2
+        # "SAME" pads asymmetrically and shifts the taps, breaking
+        # checkpoint-import parity, so strided convs pad explicitly
+        if self.strides == (1, 1):
+            pad = "SAME"
+        else:
+            pad = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel]
         x = nn.Conv(self.features, self.kernel, self.strides, padding=pad,
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_init)(x)
