@@ -18,13 +18,22 @@ import numpy as np
 from pkr_tpu.models.speaker_model import SpeakerModel
 
 
-def make_embed_fn(model: SpeakerModel, variables):
-    """Returns jitted (feats (B, F, T), mask (B, T)) → (B, emb_dim)."""
+@partial(jax.jit, static_argnames=("model",))
+def _embed_jit(model, variables, feats, mask):
+    return model.apply(variables, feats, mask, train=False,
+                       method=SpeakerModel.embed)
 
-    @jax.jit
+
+def make_embed_fn(model: SpeakerModel, variables):
+    """Returns (feats (B, F, T), mask (B, T)) → (B, emb_dim).
+
+    The jit lives at module level with `variables` as an ARGUMENT, not a
+    closure: re-creating a jitted closure per extraction call would re-trace
+    and re-compile every length bucket each time (measured ~5 s/bucket
+    through the remote-compile tunnel)."""
+
     def embed(feats, mask):
-        return model.apply(variables, feats, mask, train=False,
-                           method=SpeakerModel.embed)
+        return _embed_jit(model, variables, feats, mask)
 
     return embed
 

@@ -126,7 +126,9 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                        print_freq: int = 100,
                        on_epoch_end: Optional[Callable] = None,
                        logger: Optional[ProgressLogger] = None,
-                       flash_aam: bool = False) -> TrainState:
+                       flash_aam: bool = False,
+                       save_every_steps: int = 0,
+                       on_step_save: Optional[Callable] = None) -> TrainState:
     """The epoch loop (train → validate → best-tracking), mirroring
     train_resnet.py:262-289 but single-program."""
     log = logger or ProgressLogger()
@@ -148,6 +150,12 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         t0 = time.time()
         for i, (feats, labels) in enumerate(train_loader.epoch(epoch)):
             state, metrics = train_step(state, put(feats), put(labels), lr)
+            if save_every_steps and on_step_save and \
+                    int(state.step) % save_every_steps == 0:
+                # preemption safety net (SURVEY §5: the reference had only
+                # per-epoch rank-0 saves); resume is epoch-granular but the
+                # weights survive a mid-epoch crash
+                on_step_save(state)
             if (i + 1) % print_freq == 0:
                 jax.block_until_ready(metrics)
                 dt = time.time() - t0
