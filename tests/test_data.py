@@ -154,3 +154,15 @@ def test_materialize_fp16_precision(feat_dir, tmp_path):
     for i, utt in enumerate(src.utts):
         err = np.abs(src.read(i) - utts[utt]).max()
         assert err < 0.01, err
+
+
+def test_eval_loader_process_sharding(feat_dir):
+    src_dir, utts = feat_dir
+    src = FeatureSource(str(src_dir / "f.scp"))
+    seen = []
+    for p in range(3):
+        loader = EvalLoader(src, batch_size=2, quantum=50, max_len=150,
+                            process_index=p, process_count=3)
+        for keys, _, _ in loader:
+            seen.extend(keys)
+    assert sorted(seen) == sorted(src.utts)  # exact partition, no dup/drop

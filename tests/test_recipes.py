@@ -200,3 +200,32 @@ def test_compute_utt2dur(tmp_path):
     dd = DataDir({"wav.scp": {"a": str(p)}, "utt2spk": {"a": "s"}})
     out = compute_utt2dur(dd)
     assert abs(float(out["utt2dur"]["a"]) - 0.5) < 1e-3
+
+
+def test_score_cli(tmp_path):
+    from pkr_tpu.io import write_text_vec_ark
+    from pkr_tpu.recipes.score import main as score_main
+
+    rng = np.random.default_rng(1)
+    means = rng.standard_normal((4, 8)) * 3
+    enroll = {f"s{i}": (means[i] + rng.standard_normal(8) * 0.3).astype(np.float32)
+              for i in range(4)}
+    test = {f"s{i}-t": (means[i] + rng.standard_normal(8) * 0.3).astype(np.float32)
+            for i in range(4)}
+    write_text_vec_ark(str(tmp_path / "e.iv"), enroll)
+    write_text_vec_ark(str(tmp_path / "t.iv"), test)
+    with open(tmp_path / "trials", "w") as f:
+        for e in enroll:
+            for t in test:
+                tag = "target" if t.startswith(e + "-") else "nontarget"
+                f.write(f"{e} {t} {tag}\n")
+    rc = score_main(["--backend", "cosine", "--enroll", str(tmp_path / "e.iv"),
+                     "--test", str(tmp_path / "t.iv"),
+                     "--trials", str(tmp_path / "trials"),
+                     "--out", str(tmp_path / "out")])
+    assert rc == 0
+    import json as _json
+
+    res = _json.load(open(tmp_path / "out" / "results.json"))
+    assert res["eer"] < 0.2
+    assert os.path.exists(tmp_path / "out" / "scores.txt")
