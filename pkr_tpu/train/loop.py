@@ -42,13 +42,16 @@ def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarra
 
 def make_train_step(model, tx=None, lr_schedule=None,
                     momentum: float = 0.9, weight_decay: float = 5e-4,
-                    flash_aam: bool = False, flash_interpret: bool = False):
+                    flash_aam: bool = False,
+                    flash_interpret: Optional[bool] = None):
     """flash_aam=True (loss='AAM' models only) routes the head through the
     Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
     never materialize — the scaling path for very large speaker counts.
     Train-time top-k metrics are unavailable in that mode (reported as -1);
     validation still uses the dense head."""
     tx = tx or make_optimizer(momentum, weight_decay)
+    if flash_interpret is None:  # Pallas compiles only on TPU; interpret on CPU
+        flash_interpret = jax.default_backend() != "tpu"
 
     @jax.jit
     def train_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray,
