@@ -156,8 +156,9 @@ class TrainLoader:
                     for j, i in enumerate(sel):
                         load_one(int(i), feats[j])
                     q.put((feats, self.labels[sel]))
-            finally:
                 q.put(None)
+            except BaseException as exc:  # propagate to the training loop
+                q.put(exc)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -166,6 +167,8 @@ class TrainLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

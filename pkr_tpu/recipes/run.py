@@ -174,7 +174,9 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         sampler = sampler_cls(src.utts, labels)
         chunk = (cfg.train.chunk_size[0] if len(cfg.train.chunk_size) == 1
                  else tuple(cfg.train.chunk_size))
-        return TrainLoader(src, labels, sampler, cfg.train.batch_size, chunk,
+        # a cv split smaller than the batch would silently validate nothing
+        batch = min(cfg.train.batch_size, len(sampler)) or 1
+        return TrainLoader(src, labels, sampler, batch, chunk,
                            seed=cfg.train.seed)
 
     train_loader, cv_loader = make_loader("train"), make_loader("cv")
@@ -352,6 +354,8 @@ def main(argv=None):
     ap.add_argument("--exp-dir", type=str, default="exp/run")
     ap.add_argument("--backend", type=str, default=None,
                     help="override eval backend (cosine|snorm|plda|pool)")
+    ap.add_argument("--musan-dir", type=str, default=None,
+                    help="MUSAN root for utt2aug augmentation pools")
     args = ap.parse_args(argv)
 
     if args.preset:
@@ -371,12 +375,23 @@ def main(argv=None):
     feat_dir = os.path.join(args.exp_dir, "feats")
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
 
+    pools = None
+    if args.musan_dir:
+        from pkr_tpu.recipes.augment_dir import AugmentPools
+        from pkr_tpu.recipes.voxceleb import make_musan
+
+        pools = AugmentPools.load(make_musan(args.musan_dir),
+                                  seed=cfg.train.seed)
+
     for stage in _stage_range(args):
         if stage == 1:
             print(f"== stage 1: features → {feat_dir}")
-            run_features(args.data_dir, feat_dir)
+            dither = cfg.frontend.fbank.dither
+            run_features(args.data_dir, feat_dir, dither=dither, pools=pools,
+                         seed=cfg.train.seed)
             if args.test_data_dir:
-                run_features(args.test_data_dir, test_feat_dir)
+                run_features(args.test_data_dir, test_feat_dir, dither=dither,
+                             seed=cfg.train.seed)
         elif stage == 2:
             print("== stage 2: filter/split/labels")
             n = run_split(feat_dir, args.data_dir, cfg.data.min_frames,
