@@ -163,6 +163,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
 
     num_spk = int(open(os.path.join(feat_dir, "num_spk")).read())
     model = build_model(cfg.model, num_spk)
+    mesh = make_mesh()
+    n_data = mesh.devices.shape[0]
 
     def make_loader(split):
         src = FeatureSource(os.path.join(feat_dir, split, "feats.scp"))
@@ -174,8 +176,10 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         sampler = sampler_cls(src.utts, labels)
         chunk = (cfg.train.chunk_size[0] if len(cfg.train.chunk_size) == 1
                  else tuple(cfg.train.chunk_size))
-        # a cv split smaller than the batch would silently validate nothing
-        batch = min(cfg.train.batch_size, len(sampler)) or 1
+        # a cv split smaller than the batch would silently validate nothing;
+        # the batch must stay divisible by the mesh's data axis
+        batch = min(cfg.train.batch_size, len(sampler))
+        batch = max(n_data, batch // n_data * n_data)
         return TrainLoader(src, labels, sampler, batch, chunk,
                            seed=cfg.train.seed)
 
