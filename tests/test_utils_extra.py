@@ -112,3 +112,43 @@ def test_summarize_logs(tmp_path):
     (tmp_path / "a.2.log").write_text("Traceback (most recent call last):\nERROR boom\n")
     counts = summarize_logs(str(tmp_path))
     assert counts == {"WARNING": 2, "ERROR": 1, "Traceback": 1}
+
+
+def test_wav_roundtrip_and_pipe(tmp_path):
+    from pkr_tpu.io.wav import read_wav, write_wav
+
+    sig = (np.sin(np.arange(4000) / 10) * 5000).astype(np.float32)
+    p = tmp_path / "x.wav"
+    write_wav(str(p), sig, 16000)
+    wav, rate = read_wav(str(p))
+    assert rate == 16000
+    np.testing.assert_allclose(wav, sig, atol=1.0)  # int16 truncation
+    # command-pipe entry (the VoxCeleb2 ffmpeg idiom)
+    wav2, _ = read_wav(f"cat {p} |")
+    np.testing.assert_array_equal(wav, wav2)
+    # segments-style cut
+    cut, _ = read_wav(str(p), start=0.05, end=0.1)
+    assert len(cut) == 800
+    np.testing.assert_array_equal(cut, wav[800:1600])
+
+
+def test_prep_cli(tmp_path):
+    from pkr_tpu.recipes.prep import main as prep_main
+
+    # build fake voxceleb1 tree
+    for spk in ("id1", "id2"):
+        d = tmp_path / "corpus" / "dev" / "wav" / spk / "rec1"
+        d.mkdir(parents=True)
+        (d / "00001.wav").write_bytes(b"")
+    rc = prep_main(["voxceleb1", str(tmp_path / "corpus"), "dev",
+                    str(tmp_path / "data")])
+    assert rc == 0
+    assert (tmp_path / "data" / "wav.scp").exists()
+    rc = prep_main(["augment", str(tmp_path / "data"),
+                    str(tmp_path / "data_aug"), "--speed"])
+    assert rc == 0
+    from pkr_tpu.io import DataDir
+
+    aug = DataDir.load(str(tmp_path / "data_aug"))
+    assert aug.num_utts == 2 * 2 * 3  # clean+aug, x3 speed copies
+    assert aug.validate() == []
