@@ -271,3 +271,27 @@ def reference_aam_loss(emb, weight, labels, m=0.2, s=30.0):
     logits = aam_logits(emb, weight, labels, m, s)
     logp = jax.nn.log_softmax(logits)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def flash_aam_loss_sharded(emb, weight, labels, mesh, m: float = 0.2,
+                           s: float = 30.0, tile: int = DEFAULT_TILE,
+                           interpret: bool = False):
+    """Data-parallel flash loss under an explicit shard_map.
+
+    A pallas_call is a single-device program — under pjit with a sharded
+    batch XLA cannot partition the custom call, so the multi-chip path wraps
+    the kernel per-device: each data shard computes its local mean loss over
+    the (replicated) class weight and the global loss is the pmean.  Batch
+    must divide the mesh's 'data' axis.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("data", None), P(None, None), P("data")),
+                       out_specs=P(), check_rep=False)
+    def local(e, w, y):
+        loss = flash_aam_loss(e, w, y, m, s, tile, interpret)
+        return jax.lax.pmean(loss, "data")
+
+    return local(emb, weight, labels)

@@ -124,7 +124,7 @@ def _torch_name_to_flax(name: str) -> Optional[Tuple[Tuple[str, ...], str, str]]
         if m:
             return ("bn1",), m[0], m[1]
         return None
-    if parts[0] == "last":
+    if parts[0] == "last" and len(parts) > 1:
         if parts[1] == "weight":
             return ("last",), "kernel", "params"  # caller retargets for AAM
         if parts[1] == "bias":

@@ -96,3 +96,18 @@ def test_flash_train_step_matches_dense():
     np.testing.assert_allclose(
         np.asarray(s_flash.params["fc1"]["kernel"]),
         np.asarray(s_dense.params["fc1"]["kernel"]), rtol=1e-3, atol=1e-5)
+
+
+def test_flash_sharded_matches_unsharded():
+    from pkr_tpu.ops.flash_aam import flash_aam_loss_sharded
+    from pkr_tpu.parallel import make_mesh
+
+    emb, w, labels = make(B=16, D=32, C=100, seed=5)
+    mesh = make_mesh(n_data=4, n_model=2)
+    a = flash_aam_loss_sharded(emb, w, labels, mesh, interpret=True)
+    b = flash_aam_loss(emb, w, labels, 0.2, 30.0, 2048, True)
+    assert abs(float(a) - float(b)) < 1e-5
+    ga = jax.grad(lambda e: flash_aam_loss_sharded(e, w, labels, mesh,
+                                                   interpret=True))(emb)
+    gb = jax.grad(lambda e: flash_aam_loss(e, w, labels, 0.2, 30.0, 2048, True))(emb)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-7)
