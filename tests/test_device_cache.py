@@ -1,0 +1,99 @@
+"""HBM-resident quantized feature cache tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pkr_tpu.data.device_cache import (DeviceFeatureCache, dequantize,
+                                       quantize_utterance)
+
+
+def make_mats(n=6, F=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {f"u{i}": (rng.standard_normal((40 + 17 * i, F)) * 3 + 12).astype(np.float32)
+            for i in range(n)}
+
+
+def test_quantize_roundtrip_error_bound():
+    mats = make_mats()
+    for u, m in mats.items():
+        codes, pct = quantize_utterance(m)
+        back = np.asarray(dequantize(jnp.asarray(codes), jnp.asarray(pct)))
+        col_range = m.max(axis=0) - m.min(axis=0)
+        assert (np.abs(back - m).max(axis=0) <= col_range / 50 + 1e-3).all()
+
+
+def test_quantize_matches_cm_codec():
+    """Cache quantization must equal the CM codec's round trip (same anchors,
+    same 3-piece map) so device-cached training sees the exact features a
+    CM-ark-reading loader would."""
+    import io as _io
+
+    from pkr_tpu.io import kaldi_ark
+
+    m = make_mats(1)["u0"]
+    codes, pct = quantize_utterance(m)
+    cache_rt = np.asarray(dequantize(jnp.asarray(codes), jnp.asarray(pct)))
+    blob = kaldi_ark.compress_matrix(m)
+    cm_rt = kaldi_ark.decompress_matrix(_io.BytesIO(blob[3:]))
+    np.testing.assert_allclose(cache_rt, cm_rt, rtol=0, atol=2e-5)
+
+
+def test_sample_batch_layout_and_content():
+    mats = make_mats()
+    labels = {u: i % 3 for i, u in enumerate(sorted(mats))}
+    cache = DeviceFeatureCache.build(mats, labels)
+    assert cache.nbytes < sum(m.nbytes for m in mats.values())  # ~4x smaller
+
+    utt_ids = jnp.asarray([0, 2, 4, 5])
+    feats, labs = cache.sample_batch(utt_ids, jax.random.key(0), seq_len=16)
+    assert feats.shape == (4, 8, 16)  # (B, F, T)
+    assert list(np.asarray(labs)) == [labels[cache.utts[i]] for i in (0, 2, 4, 5)]
+    # every crop's content matches a quantized window of its utterance
+    for b, i in enumerate((0, 2, 4, 5)):
+        m = mats[cache.utts[i]]
+        codes, pct = quantize_utterance(m)
+        full = np.asarray(dequantize(jnp.asarray(codes), jnp.asarray(pct)))
+        crop = np.asarray(feats[b]).T  # (T, F)
+        # find the window (crop start is random but contiguous)
+        found = any(np.allclose(full[s:s + 16], crop, atol=1e-5)
+                    for s in range(len(m) - 15))
+        assert found, f"crop of {cache.utts[i]} not found in utterance"
+
+
+def test_sample_batch_deterministic_per_key():
+    mats = make_mats()
+    cache = DeviceFeatureCache.build(mats)
+    a, _ = cache.sample_batch([1, 3], jax.random.key(7), 12)
+    b, _ = cache.sample_batch([1, 3], jax.random.key(7), 12)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = cache.sample_batch([1, 3], jax.random.key(8), 12)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_device_cache_loader_trains():
+    from pkr_tpu.data.device_cache import DeviceCacheLoader
+    from pkr_tpu.data.sampler import BalancedRepetitionSampler
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    mats = make_mats(n=12, F=8, seed=1)
+    utts = sorted(mats)
+    labels = {u: i % 3 for i, u in enumerate(utts)}
+    cache = DeviceFeatureCache.build(mats, labels)
+    sampler = BalancedRepetitionSampler(utts, [labels[u] for u in utts])
+    loader = DeviceCacheLoader(cache, sampler, batch_size=4, chunk=16, seed=0)
+    assert loader.batches_per_epoch() == len(sampler) // 4
+
+    model = SpeakerModel(spk_num=3, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.zeros((2, 8, 16)), jnp.zeros((2,), jnp.int32))
+    _, step = make_train_step(model)
+    losses = []
+    for feats, labs in loader.epoch(0):
+        state, m = step(state, feats, labs, jnp.asarray(0.05, jnp.float32))
+        losses.append(float(m["loss"]))
+    assert len(losses) == loader.batches_per_epoch()
+    assert all(np.isfinite(l) for l in losses)
