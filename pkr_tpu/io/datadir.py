@@ -21,7 +21,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 # tables keyed by utterance-id (value = rest of the line)
 _UTT_TABLES = ("wav.scp", "utt2spk", "feats.scp", "vad.scp", "utt2num_frames",
-               "utt2spkid", "utt2dur", "utt2aug", "utt2speed", "text",
+               "utt2spkid", "utt2dur", "utt2aug", "utt2speed", "utt2warp", "text",
                "segments")
 # tables keyed by speaker-id
 _SPK_TABLES = ("spk2utt", "spk2gender")

@@ -548,3 +548,126 @@ def write_text_vec_ark(path, items: Dict[str, np.ndarray] | Iterator[Tuple[str, 
 
 def load_text_vec_ark(path) -> Dict[str, np.ndarray]:
     return {k: v for k, v in read_text_vec_ark(path)}
+
+
+# ---------------------------------------------------------------------------
+# 'Posterior' type: vector<vector<pair<int32, float>>> (time-major), plus the
+# confusion-network-time variant and segments→frame-mask conversion
+# (reference surface: kaldi_io.py:510-679; ASR-side utilities kept for full
+# kaldi_io API coverage)
+# ---------------------------------------------------------------------------
+
+
+def read_post(file_or_fd) -> list:
+    """Read one binary Kaldi Posterior: [[(id, weight), ...] per frame]."""
+    fd = open_or_fd(file_or_fd)
+    try:
+        flag = fd.read(2)
+        assert flag == b"\x00B", f"bad posterior start {flag!r}"
+        assert fd.read(1) == b"\x04"
+        (n_frames,) = struct.unpack("<i", fd.read(4))
+        out = []
+        for _ in range(n_frames):
+            assert fd.read(1) == b"\x04"
+            (n_rec,) = struct.unpack("<i", fd.read(4))
+            if n_rec == 0:
+                out.append([])
+                continue
+            raw = np.frombuffer(fd.read(10 * n_rec),
+                                dtype=[("ti", "i1"), ("id", "<i4"),
+                                       ("tf", "i1"), ("w", "<f4")])
+            assert (raw["ti"] == 4).all() and (raw["tf"] == 4).all()
+            out.append(list(zip(raw["id"].tolist(), raw["w"].tolist())))
+        return out
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
+def write_post(file_or_fd, post: list, key: str = "") -> None:
+    """Write a binary Kaldi Posterior (inverse of read_post)."""
+    fd = open_or_fd(file_or_fd, "wb")
+    try:
+        if key:
+            fd.write((key + " ").encode("latin1"))
+        fd.write(b"\x00B\x04")
+        fd.write(struct.pack("<i", len(post)))
+        for frame in post:
+            fd.write(b"\x04")
+            fd.write(struct.pack("<i", len(frame)))
+            for idx, w in frame:
+                fd.write(b"\x04" + struct.pack("<i", int(idx)))
+                fd.write(b"\x04" + struct.pack("<f", float(w)))
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
+def read_post_ark(file_or_fd) -> Iterator[Tuple[str, list]]:
+    fd = open_or_fd(file_or_fd)
+    try:
+        while True:
+            key = read_key(fd)
+            if not key:
+                return
+            yield key, read_post(fd)
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
+def read_cnet_ark(file_or_fd) -> Iterator[Tuple[str, list]]:
+    """Confusion networks with times: [[(time, [(id, w), ...])...]] — the
+    cntime format (kaldi_io.py:605-659 surface)."""
+    fd = open_or_fd(file_or_fd)
+    try:
+        while True:
+            key = read_key(fd)
+            if not key:
+                return
+            flag = fd.read(2)
+            assert flag == b"\x00B"
+            assert fd.read(1) == b"\x04"
+            (n_bins,) = struct.unpack("<i", fd.read(4))
+            cnet = []
+            for _ in range(n_bins):
+                assert fd.read(1) == b"\x04"
+                (t,) = struct.unpack("<i", fd.read(4))
+                assert fd.read(1) == b"\x04"
+                (n_rec,) = struct.unpack("<i", fd.read(4))
+                recs = []
+                for _ in range(n_rec):
+                    assert fd.read(1) == b"\x04"
+                    (idx,) = struct.unpack("<i", fd.read(4))
+                    assert fd.read(1) == b"\x04"
+                    (w,) = struct.unpack("<f", fd.read(4))
+                    recs.append((idx, w))
+                cnet.append((t, recs))
+            yield key, cnet
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
+def read_segments_as_bool_vec(segments_path: str, frame_shift: float = 0.01
+                              ) -> np.ndarray:
+    """Segments file (one recording) → per-frame bool voiced mask
+    (kaldi_io.py:661-679 semantics: all lines must share the recording)."""
+    segs = []
+    rec = None
+    for line in open(segments_path):
+        parts = line.split()
+        if len(parts) != 4:
+            continue
+        _, r, start, end = parts
+        if rec is None:
+            rec = r
+        assert r == rec, "segments file spans multiple recordings"
+        segs.append((float(start), float(end)))
+    if not segs:
+        return np.zeros(0, dtype=bool)
+    n = int(round(max(e for _, e in segs) / frame_shift))
+    out = np.zeros(n, dtype=bool)
+    for s, e in segs:
+        out[int(round(s / frame_shift)):int(round(e / frame_shift))] = True
+    return out

@@ -53,11 +53,22 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
     from pkr_tpu.io import DataDir, write_ark_scp
     from pkr_tpu.io.wav import read_wav
 
+    import dataclasses
+
     dd = DataDir.load(data_dir)
     utt2aug = dd.get("utt2aug")
     utt2speed = dd.get("utt2speed")
+    utt2warp = dd.get("utt2warp")  # per-utterance VTLN (make_fbank.sh:74-80)
     fb = FbankConfig(dither=dither)
     cfg = FrontendConfig(fbank=fb)
+    cfg_by_warp = {}
+
+    def cfg_for(warp: float):
+        if warp not in cfg_by_warp:
+            cfg_by_warp[warp] = (cfg if warp == 1.0 else FrontendConfig(
+                fbank=dataclasses.replace(fb, vtln_warp=warp)))
+        return cfg_by_warp[warp]
+
     key = jax.random.key(seed)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -72,8 +83,9 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             write_ark_scp(os.path.join(out_dir, "vad.ark"),
                           os.path.join(out_dir, "vad.scp")) as vw:
 
-        def flush(L, items):
+        def flush(bucket_key, items):
             nonlocal key
+            L, warp = bucket_key
             B = len(items)
             wavs = np.zeros((B, L), np.float32)
             lens = np.zeros((B,), np.int32)
@@ -82,7 +94,7 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 lens[b] = len(w)
             key, sub = jax.random.split(key)
             feats, mask, vad = wav_to_train_feats(
-                jnp.asarray(wavs), jnp.asarray(lens), sub, cfg,
+                jnp.asarray(wavs), jnp.asarray(lens), sub, cfg_for(warp),
                 apply_vad=apply_vad)
             feats, mask, vad = map(np.asarray, (feats, mask, vad))
             for b, (utt, w) in enumerate(items):
@@ -104,11 +116,13 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             if pools is not None and kind != "none":
                 wav = pools.apply(wav.astype(np.float32), len(wav), kind)
             L = int(np.ceil(max(len(wav), quantum) / quantum) * quantum)
-            buckets.setdefault(L, []).append((utt, wav))
-            if len(buckets[L]) == batch:
-                flush(L, buckets.pop(L))
-        for L in sorted(buckets):
-            flush(L, buckets[L])
+            warp = float(utt2warp.get(utt, "1.0")) if utt2warp else 1.0
+            bkey = (L, warp)
+            buckets.setdefault(bkey, []).append((utt, wav))
+            if len(buckets[bkey]) == batch:
+                flush(bkey, buckets.pop(bkey))
+        for bkey in sorted(buckets):
+            flush(bkey, buckets[bkey])
 
     with open(os.path.join(out_dir, "utt2num_frames"), "w") as f:
         for utt in sorted(utt2nf):

@@ -159,3 +159,55 @@ def write_trials(path: str, trials: Sequence[Tuple[str, str, str]]) -> None:
     with open(path, "w") as f:
         for a, b, t in trials:
             f.write(f"{a} {b} {t}\n")
+
+
+def make_voxceleb1_old_layout(root: str, trials_txt: Optional[str] = None
+                              ) -> Tuple[DataDir, DataDir, List[Tuple[str, str, str]]]:
+    """The ORIGINAL VoxCeleb1 directory layout (local/make_voxceleb1.pl):
+    <root>/voxceleb1_wav/<spk>/<rec11chars>_<seg7chars>.wav, with the trial
+    file deciding which speakers form the test split.
+
+    Returns (train_dir, test_dir, trials) where trials entries use the
+    'spk-rec-seg' utt ids.
+    """
+    trials_txt = trials_txt or os.path.join(root, "voxceleb1_test.txt")
+    test_spks = set()
+    trials: List[Tuple[str, str, str]] = []
+
+    def path_to_id(path: str) -> Tuple[str, str]:
+        spk, filename = path.split("/", 1)
+        name = filename[: filename.rindex(".")] if "." in filename else filename
+        rec, seg = name[:11], name[12:19]
+        return spk, f"{spk}-{rec}-{seg}"
+
+    if os.path.exists(trials_txt):
+        for line in open(trials_txt):
+            parts = line.split()
+            if len(parts) != 3:
+                continue
+            s1, u1 = path_to_id(parts[1])
+            s2, u2 = path_to_id(parts[2])
+            test_spks.update((s1, s2))
+            trials.append((u1, u2, "target" if parts[0] == "1" else "nontarget"))
+
+    wav_root = os.path.join(root, "voxceleb1_wav")
+    train_u2s, train_wav, test_u2s, test_wav = {}, {}, {}, {}
+    for spk in sorted(os.listdir(wav_root)):
+        spk_dir = os.path.join(wav_root, spk)
+        if not os.path.isdir(spk_dir):
+            continue
+        for f in sorted(os.listdir(spk_dir)):
+            if not f.endswith(".wav"):
+                continue
+            name = f[:-4]
+            utt = f"{spk}-{name[:11]}-{name[12:19]}"
+            path = os.path.join(spk_dir, f)
+            if spk in test_spks:
+                test_u2s[utt] = spk
+                test_wav[utt] = path
+            else:
+                train_u2s[utt] = spk
+                train_wav[utt] = path
+    train = DataDir({"utt2spk": train_u2s, "wav.scp": train_wav}).make_spk2utt()
+    test = DataDir({"utt2spk": test_u2s, "wav.scp": test_wav}).make_spk2utt()
+    return train, test, trials

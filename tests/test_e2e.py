@@ -161,3 +161,26 @@ def test_run_features_with_augmentation(tmp_path):
             a, b = feats[u], feats[base]
             n = min(len(a), len(b))
             assert np.abs(a[:n] - b[:n]).max() > 0.01
+
+
+def test_run_features_vtln_warp(tmp_path):
+    """utt2warp entries produce warped mel features (make_fbank.sh:74-80
+    VTLN pass-through role)."""
+    from pkr_tpu.io import kaldi_ark
+
+    data_dir = str(tmp_path / "data")
+    synth_corpus(data_dir, n_spk=1, n_utt=1, seconds=1.0)
+    dd = DataDir.load(data_dir)
+    utt = dd.utts[0]
+    # add a warped copy of the same wav
+    dd.tables["utt2spk"][f"w-{utt}"] = dd["utt2spk"][utt]
+    dd.tables["wav.scp"][f"w-{utt}"] = dd["wav.scp"][utt]
+    dd.tables["utt2warp"] = {utt: "1.0", f"w-{utt}": "1.1"}
+    dd.make_spk2utt().save(data_dir)
+
+    feat_dir = str(tmp_path / "feats")
+    recipe.run_features(data_dir, feat_dir, batch=2, dither=0.0, apply_vad=False)
+    feats = dict(kaldi_ark.read_mat_scp(os.path.join(feat_dir, "feats.scp")))
+    a, b = feats[utt], feats[f"w-{utt}"]
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 0.05  # warp changed the mel projection

@@ -162,3 +162,23 @@ def test_gzip_scp(tmp_path):
     fd = ka.open_or_fd(str(p))
     assert fd.readline() == b"hello world\n"
     fd.close()
+
+
+def test_posterior_roundtrip(tmp_path):
+    post = [[(1, 0.5), (3, 0.25)], [], [(7, 1.0)]]
+    p = tmp_path / "p.ark"
+    ka.write_post(str(p), post, key="utt1")
+    (k, got), = list(ka.read_post_ark(str(p)))
+    assert k == "utt1"
+    assert len(got) == 3 and got[1] == []
+    assert got[0][0][0] == 1 and abs(got[0][0][1] - 0.5) < 1e-7
+    assert got[2] == [(7, 1.0)]
+
+
+def test_segments_to_bool_vec(tmp_path):
+    p = tmp_path / "segments"
+    p.write_text("utt1 rec1 0.10 0.30\nutt2 rec1 0.50 0.60\n")
+    v = ka.read_segments_as_bool_vec(str(p))
+    assert len(v) == 60
+    assert v[10:30].all() and not v[30:50].any() and v[50:60].all()
+    assert not v[:10].any()

@@ -229,3 +229,23 @@ def test_score_cli(tmp_path):
     res = _json.load(open(tmp_path / "out" / "results.json"))
     assert res["eer"] < 0.2
     assert os.path.exists(tmp_path / "out" / "scores.txt")
+
+
+def test_make_voxceleb1_old_layout(tmp_path):
+    from pkr_tpu.recipes.voxceleb import make_voxceleb1_old_layout
+
+    root = tmp_path / "vox1"
+    for spk, n in (("A.J._Buckley", 2), ("Zulay_Henao", 1)):
+        d = root / "voxceleb1_wav" / spk
+        d.mkdir(parents=True)
+        for i in range(n):
+            (d / f"1zcIwhmdeo{i}_0000{i}01.wav").write_bytes(b"")
+    (root / "voxceleb1_test.txt").write_text(
+        "1 Zulay_Henao/1zcIwhmdeo0_0000001.wav Zulay_Henao/1zcIwhmdeo0_0000001.wav\n"
+        "0 Zulay_Henao/1zcIwhmdeo0_0000001.wav A.J._Buckley/1zcIwhmdeo1_0000101.wav\n")
+    train, test, trials = make_voxceleb1_old_layout(str(root))
+    # both speakers appear in trials → both land in the test split
+    assert train.num_utts == 0 and test.num_utts == 3
+    assert trials[0][2] == "target" and trials[1][2] == "nontarget"
+    assert trials[0][0] == "Zulay_Henao-1zcIwhmdeo0-0000001"
+    assert test.validate() == []
