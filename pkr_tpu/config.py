@@ -11,9 +11,9 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
-from pkr_tpu.frontend.features import FbankConfig, MfccConfig
+from pkr_tpu.frontend.features import FbankConfig
 from pkr_tpu.frontend.pipeline import FrontendConfig
 from pkr_tpu.frontend.vad import VadConfig
 

@@ -22,7 +22,7 @@ Semantics preserved from wav-reverberate:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ Round-trip error equals the CM codec's (tested).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax

@@ -22,7 +22,7 @@ duplicates that forced the reference's awk dedup (run_aam_v2.sh:131-136).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

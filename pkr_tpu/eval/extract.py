@@ -9,7 +9,7 @@ compiled executable per bucket length, every utterance exactly once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

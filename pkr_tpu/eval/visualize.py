@@ -12,7 +12,7 @@ available for parity with the reference's plots.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

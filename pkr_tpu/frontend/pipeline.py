@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from pkr_tpu.frontend.features import FbankConfig, _fbank_frames, frame_signal, num_frames
+from pkr_tpu.frontend.features import FbankConfig, _fbank_frames, frame_signal
 from pkr_tpu.frontend.vad import VadConfig, energy_vad
 from pkr_tpu.frontend.cmvn import sliding_cmvn, select_voiced
 

@@ -16,7 +16,6 @@ threshold 5.5) assumes that scale.
 from __future__ import annotations
 
 import io
-import struct
 import subprocess
 import wave
 from typing import Optional, Tuple

@@ -20,8 +20,7 @@ statistics; global stats are a strict upgrade and documented deviation
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

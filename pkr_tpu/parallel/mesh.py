@@ -23,8 +23,7 @@ no rendezvous URLs, no per-GPU process spawn.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -10,9 +10,8 @@ Ports the "liveshow" production-eval tooling (SURVEY §2.1):
 
 from __future__ import annotations
 
-import os
 import re
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 from pkr_tpu.io.datadir import DataDir
 

@@ -18,8 +18,6 @@ import sys
 
 
 def main(argv=None):
-    import dataclasses
-
     from pkr_tpu.config import Config, EvalConfig
     from pkr_tpu.io import DataDir
     from pkr_tpu.recipes.run import run_score

@@ -17,8 +17,7 @@ Replaces train_resnet.py's main_worker + train()/validate()
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

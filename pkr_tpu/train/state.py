@@ -14,8 +14,7 @@ run just sets the epoch — no scheduler object to rebuild
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Optional
+from typing import Any
 
 import flax
 import jax
