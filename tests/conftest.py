@@ -20,6 +20,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # not honored by this jax version — set the config explicitly.)
 import jax  # noqa: E402
 
+# The env var alone is NOT enough when the ambient TPU plugin registered at
+# interpreter startup (sitecustomize): the config flag wins — without this,
+# `python -m pytest` in the ambient env silently runs every test over the
+# TPU tunnel (slow, and MXU f32 precision breaks strict parity tolerances).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
