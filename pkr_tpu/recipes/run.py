@@ -220,10 +220,13 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
         else:
-            restored = restore_checkpoint(cfg.train.pretrained, state, which="best")
-            if restored is not None:
-                state = state.replace(params=restored.params,
-                                      batch_stats=restored.batch_stats)
+            from pkr_tpu.train.checkpoint import load_pretrained_variables
+
+            variables = load_pretrained_variables(
+                cfg.train.pretrained,
+                {"params": state.params, "batch_stats": state.batch_stats})
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
 
     mesh = make_mesh()
     logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))

@@ -178,3 +178,65 @@ def import_torch_checkpoint(state_dict: Dict[str, Any], variables: Dict[str, Any
     if verbose:
         print(f"imported {n_loaded}/{len(state_dict)} tensors")
     return out
+
+
+def load_pretrained_variables(path: str, variables: Dict[str, Any],
+                              which: str = "best", verbose: bool = True
+                              ) -> Dict[str, Any]:
+    """Name-tolerant warm start from one of OUR checkpoints (the
+    loadParameters role for cross-head init, e.g. AAM from a softmax model —
+    run_aam_v2.sh:82): leaves whose path exists in `variables` with a
+    matching shape are copied; everything else is skipped with a message.
+
+    A strict `restore_checkpoint` would reject the structure mismatch (the
+    softmax head has bn1/last, the AAM head has aam_weight)."""
+    path = os.path.abspath(path)
+    if which == "latest":
+        marker = os.path.join(path, "latest")
+        if not os.path.exists(marker):
+            return variables
+        target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
+    else:
+        target = os.path.join(path, which)
+        if not os.path.exists(target):
+            marker = os.path.join(path, "latest")
+            if not os.path.exists(marker):
+                return variables
+            target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
+    raw = _ckptr().restore(target)  # raw pytree (nested dicts)
+
+    import copy
+
+    out = copy.deepcopy(jax.device_get(variables))
+    n_loaded = 0
+    n_skipped = 0
+
+    def walk(src, dst, prefix):
+        nonlocal n_loaded, n_skipped
+        if isinstance(src, dict) and isinstance(dst, dict):
+            for k, v in src.items():
+                if k in dst:
+                    if isinstance(v, dict):
+                        walk(v, dst[k], prefix + (k,))
+                    else:
+                        arr = np.asarray(v)
+                        tgt = np.asarray(dst[k])
+                        if arr.shape == tgt.shape:
+                            dst[k] = arr.astype(tgt.dtype)
+                            n_loaded += 1
+                        else:
+                            n_skipped += 1
+                            if verbose:
+                                print(f"Wrong parameter length: {'/'.join(prefix + (k,))}, "
+                                      f"model: {tgt.shape}, loaded: {arr.shape}")
+                else:
+                    n_skipped += 1
+                    if verbose:
+                        print(f"{'/'.join(prefix + (k,))} is not in the model.")
+
+    for coll in ("params", "batch_stats"):
+        if coll in out and isinstance(raw, dict) and coll in raw:
+            walk(raw[coll], out[coll], (coll,))
+    if verbose:
+        print(f"warm start: loaded {n_loaded} tensors, skipped {n_skipped}")
+    return out

@@ -190,3 +190,42 @@ def test_distributed_helpers():
     initialize()  # single-host no-op
     idx, count, local = host_info()
     assert idx == 0 and count == 1 and local == 8  # test mesh has 8 cpu devs
+
+
+def test_warm_start_cross_head(tmp_path):
+    """AAM warm-started from a softmax checkpoint: trunk/fc1 load, the
+    mismatched head is skipped (run_aam_v2.sh:82 flow with our checkpoints)."""
+    from pkr_tpu.train.checkpoint import load_pretrained_variables
+
+    soft = SpeakerModel(spk_num=5, feat_dim=8, trunk="tiny_resnet",
+                        pooling="mean+std", loss="softmax", dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((4, 8, 16)), jnp.float32)
+    y = jnp.asarray(np.arange(4) % 5)
+    s_state = create_train_state(soft, jax.random.key(1), x, y)
+    s_state = s_state.replace(epoch=jnp.asarray(2, jnp.int32))
+    save_checkpoint(str(tmp_path / "soft"), s_state, is_best=True)
+
+    aam = SpeakerModel(spk_num=5, feat_dim=8, trunk="tiny_resnet",
+                       pooling="mean+std", loss="AAM", dtype=jnp.float32)
+    a_state = create_train_state(aam, jax.random.key(2), x, y)
+    variables = load_pretrained_variables(
+        str(tmp_path / "soft"),
+        {"params": a_state.params, "batch_stats": a_state.batch_stats},
+        verbose=False)
+    # trunk + fc1 copied from the softmax model
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["fc1"]["kernel"]),
+        np.asarray(jax.device_get(s_state.params["fc1"]["kernel"])))
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["_trunk"]["stem"]["Conv_0"]["kernel"]),
+        np.asarray(jax.device_get(s_state.params["_trunk"]["stem"]["Conv_0"]["kernel"])))
+    # AAM head untouched (softmax ckpt has no aam_weight)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["aam_weight"]),
+        np.asarray(jax.device_get(a_state.params["aam_weight"])))
+    # and the model still runs with the merged variables
+    a_state = a_state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+    _, step = make_train_step(aam)
+    _, m = step(a_state, x, y, jnp.asarray(0.05, jnp.float32))
+    assert np.isfinite(float(m["loss"]))
