@@ -152,3 +152,22 @@ def test_prep_cli(tmp_path):
     aug = DataDir.load(str(tmp_path / "data_aug"))
     assert aug.num_utts == 2 * 2 * 3  # clean+aug, x3 speed copies
     assert aug.validate() == []
+
+
+def test_plot_embeddings_writes_png(tmp_path):
+    from pkr_tpu.eval.visualize import plot_embeddings
+
+    rng = np.random.default_rng(2)
+    vecs, utt2spk = {}, {}
+    for s in range(4):
+        c = rng.standard_normal(16) * 3
+        for j in range(8):
+            u = f"s{s}-u{j}"
+            vecs[u] = (c + rng.standard_normal(16) * 0.3).astype(np.float32)
+            utt2spk[u] = f"s{s}"
+    out = plot_embeddings(vecs, utt2spk, str(tmp_path / "emb.png"), method="pca")
+    if out is None:  # matplotlib genuinely unavailable
+        import pytest
+
+        pytest.skip("matplotlib unavailable")
+    assert os.path.getsize(out) > 5000  # a real PNG, not an empty file
