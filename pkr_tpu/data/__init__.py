@@ -6,6 +6,8 @@ from pkr_tpu.data.sampler import (
     load_utt2spkid,
 )
 from pkr_tpu.data.loader import FeatureSource, TrainLoader, EvalLoader, bucket_lengths
+from pkr_tpu.data.device_cache import DeviceFeatureCache, DeviceCacheLoader
+from pkr_tpu.data.materialize import MaterializedSource, materialize
 
 __all__ = [
     "BalancedRepetitionSampler",
@@ -15,4 +17,8 @@ __all__ = [
     "TrainLoader",
     "EvalLoader",
     "bucket_lengths",
+    "DeviceFeatureCache",
+    "DeviceCacheLoader",
+    "MaterializedSource",
+    "materialize",
 ]
