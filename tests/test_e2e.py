@@ -184,3 +184,38 @@ def test_run_features_vtln_warp(tmp_path):
     a, b = feats[utt], feats[f"w-{utt}"]
     assert a.shape == b.shape
     assert np.abs(a - b).max() > 0.05  # warp changed the mel projection
+
+
+def test_cli_with_musan_dir(tmp_path):
+    """--musan-dir end to end: MUSAN tree → pools → augmented features
+    through the CLI (the run.sh stages 2-3 + feature path)."""
+    rng = np.random.default_rng(3)
+    # tiny MUSAN tree with real wavs
+    for kind, n in (("noise", 2), ("music", 1), ("speech", 4)):
+        d = tmp_path / "musan" / kind / "sub"
+        d.mkdir(parents=True)
+        for i in range(n):
+            write_wav(str(d / f"{kind}-sub-{i:04d}.wav"),
+                      rng.standard_normal(8000).astype(np.float32) * 300, RATE)
+    data_dir = str(tmp_path / "data")
+    synth_corpus(data_dir, n_spk=2, n_utt=2, seconds=1.0)
+    from pkr_tpu.io import DataDir as DD
+    from pkr_tpu.recipes.augment_dir import augment_data_dir
+
+    augment_data_dir(DD.load(data_dir), seed=2).save(str(tmp_path / "data_aug"))
+
+    from pkr_tpu.config import Config as C, DataConfig as DC
+    cfg = C(data=DC(min_frames=30, cv_fraction=0.25))
+    (tmp_path / "cfg.json").write_text(cfg.to_json())
+    from pkr_tpu.recipes.run import main
+    rc = main(["--config", str(tmp_path / "cfg.json"),
+               "--stage", "1", "--stop-stage", "2",
+               "--data-dir", str(tmp_path / "data_aug"),
+               "--exp-dir", str(tmp_path / "exp"),
+               "--musan-dir", str(tmp_path / "musan")])
+    assert rc == 0
+    from pkr_tpu.io import kaldi_ark
+    feats = dict(kaldi_ark.read_mat_scp(str(tmp_path / "exp/feats/feats.scp")))
+    aug_dd = DD.load(str(tmp_path / "data_aug"))
+    assert set(feats) == set(aug_dd.utts)
+    assert all(np.isfinite(m).all() for m in feats.values())

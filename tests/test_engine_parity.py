@@ -98,3 +98,63 @@ def test_five_steps_match_torch():
         np.asarray(state.params["_trunk"]["stem"]["Conv_0"]["kernel"]),
         tm.base.res.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
         rtol=1e-3, atol=1e-5)
+
+
+class TorchSoftmaxTrainer(torch.nn.Module):
+    """The reference softmax head: BN1d + ReLU + Linear (model.py:360-363)."""
+
+    def __init__(self, base_model, n_spk):
+        super().__init__()
+        self.base = base_model
+        self.bn1 = torch.nn.BatchNorm1d(256)
+        self.head = torch.nn.Linear(256, n_spk)
+
+    def forward(self, x, labels):
+        emb = self.base(x)
+        h = torch.relu(self.bn1(emb))
+        return F.cross_entropy(self.head(h), labels)
+
+
+def test_softmax_head_steps_match_torch():
+    torch.manual_seed(1)
+    n_spk, B, F_dim, T = 5, 8, 8, 16
+    tm = TorchSoftmaxTrainer(TSpeakerModel([1, 1, 1, 1], feat_dim=F_dim, base=8),
+                             n_spk).train()
+
+    fm = SpeakerModel(spk_num=n_spk, feat_dim=F_dim, trunk="tiny_resnet",
+                      pooling="mean+std", loss="softmax", dtype=jnp.float32)
+    variables = fm.init(jax.random.key(0), jnp.zeros((1, F_dim, T)),
+                        jnp.zeros((1,), jnp.int32), train=True)
+    sd = {k.replace("base.", ""): v for k, v in tm.state_dict().items()}
+    # head naming: torch 'head.*' → reference 'last.*'; bn1 matches directly
+    sd = {("last." + k.split(".", 1)[1] if k.startswith("head.") else k): v
+          for k, v in sd.items()}
+    variables = import_torch_checkpoint(sd, variables, verbose=False)
+
+    state = create_train_state(fm, jax.random.key(0),
+                               jnp.zeros((2, F_dim, T)), jnp.zeros((2,), jnp.int32))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    _, jstep = make_train_step(fm)
+    opt = torch.optim.SGD(tm.parameters(), lr=0.05, momentum=0.9,
+                          weight_decay=5e-4)
+    rng = np.random.default_rng(17)
+    j_losses, t_losses = [], []
+    for _ in range(4):
+        x = rng.standard_normal((B, F_dim, T)).astype(np.float32)
+        y = rng.integers(0, n_spk, B)
+        opt.zero_grad()
+        loss_t = tm(torch.from_numpy(x), torch.from_numpy(y))
+        loss_t.backward()
+        opt.step()
+        t_losses.append(float(loss_t))
+        state, metrics = jstep(state, jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(0.05, jnp.float32))
+        j_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(state.params["last"]["kernel"]),
+        tm.head.weight.detach().numpy().T, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.params["bn1"]["scale"]),
+        tm.bn1.weight.detach().numpy(), rtol=1e-3, atol=1e-5)
