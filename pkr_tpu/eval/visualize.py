@@ -117,3 +117,9 @@ def plot_embeddings(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def speaker_embeddings(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
+                       speaker: str) -> Dict[str, np.ndarray]:
+    """All embeddings of one speaker (local/get_spk_emb.py role)."""
+    return {u: v for u, v in vecs.items() if utt2spk.get(u) == speaker}

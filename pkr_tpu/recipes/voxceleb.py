@@ -211,3 +211,31 @@ def make_voxceleb1_old_layout(root: str, trials_txt: Optional[str] = None
     train = DataDir({"utt2spk": train_u2s, "wav.scp": train_wav}).make_spk2utt()
     test = DataDir({"utt2spk": test_u2s, "wav.scp": test_wav}).make_spk2utt()
     return train, test, trials
+
+
+def make_vctk(root: str, resample_cmd: str = "ffmpeg",
+              rate: int = 16000) -> DataDir:
+    """VCTK corpus → DataDir (local/make_vctk.pl + make_vctk_wav.py role):
+    <root>/wav48/<spk>/<spk>_<utt>.wav entries with a mono/16 kHz resample
+    pipe in wav.scp (the reference used sox; ffmpeg ships more often)."""
+    wav_root = os.path.join(root, "wav48")
+    if not os.path.isdir(wav_root):
+        wav_root = os.path.join(root, "wav")
+    utt2spk, wav = {}, {}
+    for spk in sorted(os.listdir(wav_root)):
+        spk_dir = os.path.join(wav_root, spk)
+        if not os.path.isdir(spk_dir):
+            continue
+        for f in sorted(os.listdir(spk_dir)):
+            if not f.endswith(".wav"):
+                continue
+            utt = f[:-4]
+            path = os.path.join(spk_dir, f)
+            if resample_cmd == "sox":
+                cmd = f"sox {path} -t wav -r {rate} -c 1 - |"
+            else:
+                cmd = (f"ffmpeg -v 8 -i {path} -f wav -ar {rate} -ac 1 "
+                       f"-acodec pcm_s16le -|")
+            utt2spk[utt] = spk
+            wav[utt] = cmd
+    return DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()

@@ -249,3 +249,29 @@ def test_make_voxceleb1_old_layout(tmp_path):
     assert trials[0][2] == "target" and trials[1][2] == "nontarget"
     assert trials[0][0] == "Zulay_Henao-1zcIwhmdeo0-0000001"
     assert test.validate() == []
+
+
+def test_make_vctk(tmp_path):
+    from pkr_tpu.recipes.voxceleb import make_vctk
+
+    for spk in ("p225", "p226"):
+        d = tmp_path / "wav48" / spk
+        d.mkdir(parents=True)
+        (d / f"{spk}_001.wav").write_bytes(b"")
+    dd = make_vctk(str(tmp_path))
+    assert dd.num_utts == 2
+    assert dd["utt2spk"]["p225_001"] == "p225"
+    entry = dd["wav.scp"]["p226_001"]
+    assert entry.endswith("-|") and "-ar 16000 -ac 1" in entry
+    sox = make_vctk(str(tmp_path), resample_cmd="sox")
+    assert sox["wav.scp"]["p225_001"].startswith("sox ")
+
+
+def test_speaker_embeddings_export():
+    from pkr_tpu.eval.visualize import speaker_embeddings
+
+    vecs = {f"s{i}-u{j}": np.full(3, i, np.float32) for i in range(2) for j in range(3)}
+    u2s = {k: k.split("-")[0] for k in vecs}
+    out = speaker_embeddings(vecs, u2s, "s1")
+    assert set(out) == {"s1-u0", "s1-u1", "s1-u2"}
+    assert all((v == 1).all() for v in out.values())
