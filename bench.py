@@ -158,7 +158,12 @@ def main():
                    "note": "torch-CPU ResNet34 r-vector forward (decode_cpu.py "
                            "path) on this host, 6s utterances"},
                   open(BASELINE_FILE, "w"), indent=1)
-    value = measure_tpu(batch=8 if quick else BATCH, iters=2 if quick else 8)
+    try:
+        value = measure_tpu(batch=8 if quick else BATCH, iters=2 if quick else 8)
+    except Exception:
+        # the TPU tunnel occasionally drops a request; one clean retry
+        time.sleep(20)
+        value = measure_tpu(batch=8 if quick else BATCH, iters=2 if quick else 8)
     print(json.dumps({
         "metric": "wav→fbank→ResNet34 embedding throughput",
         "value": round(value, 2),
