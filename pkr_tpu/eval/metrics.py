@@ -75,3 +75,32 @@ def scores_and_labels_from_files(score_path: str, trials_path: str
         scores.append(float(s))
         labels.append(1 if trials[key] == "target" else 0)
     return scores, labels
+
+
+def _cli(argv=None):
+    """CLI parity with scripts/compute_eer.py / local/compute_min_dcf.py:
+    `python -m pkr_tpu.eval.metrics [--p-target P] <scores> <trials>`."""
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(description="EER / minDCF from score+trial files")
+    ap.add_argument("--p-target", type=float, default=None,
+                    help="report minDCF at this prior instead of EER")
+    ap.add_argument("--c-miss", type=float, default=1.0)
+    ap.add_argument("--c-fa", type=float, default=1.0)
+    ap.add_argument("scores")
+    ap.add_argument("trials")
+    args = ap.parse_args(argv)
+    scores, labels = scores_and_labels_from_files(args.scores, args.trials)
+    if args.p_target is None:
+        eer = compute_eer(scores, labels)
+        sys.stdout.write(f"{eer:.2%}\n")
+    else:
+        mindcf, thr = compute_min_dcf(scores, labels, args.p_target,
+                                      args.c_miss, args.c_fa)
+        sys.stdout.write(f"{mindcf:.4f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_cli())

@@ -168,3 +168,20 @@ def test_end_to_end_metric_sanity():
                 labels.append(1 if s == i else 0)
     scores = cosine_scores(enroll, test, trials)
     assert compute_eer(scores.tolist(), labels) == 0.0
+
+
+def test_metrics_cli(tmp_path, capsys):
+    from pkr_tpu.eval.metrics import _cli
+
+    scores, labels = synth_scores(400, seed=9)
+    with open(tmp_path / "scores", "w") as fs, open(tmp_path / "trials", "w") as ft:
+        for i, (s, l) in enumerate(zip(scores, labels)):
+            fs.write(f"e{i} t{i} {s}\n")
+            ft.write(f"e{i} t{i} {'target' if l else 'nontarget'}\n")
+    assert _cli([str(tmp_path / "scores"), str(tmp_path / "trials")]) == 0
+    out1 = capsys.readouterr().out.strip()
+    assert out1.endswith("%")
+    assert _cli(["--p-target", "0.01", str(tmp_path / "scores"),
+                 str(tmp_path / "trials")]) == 0
+    out2 = capsys.readouterr().out.strip()
+    assert 0.0 <= float(out2) <= 1.0

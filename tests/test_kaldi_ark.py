@@ -182,3 +182,30 @@ def test_segments_to_bool_vec(tmp_path):
     assert len(v) == 60
     assert v[10:30].all() and not v[30:50].any() and v[50:60].all()
     assert not v[:10].any()
+
+
+def test_pipe_writer(tmp_path):
+    out = tmp_path / "piped.ark"
+    m = np.full((2, 3), 7.0, np.float32)
+    fd = ka.open_or_fd(f"| cat > {out}", "wb")
+    ka.write_mat(fd, m, key="u1")
+    fd.close()
+    d = dict(ka.read_mat_ark(str(out)))
+    np.testing.assert_array_equal(d["u1"], m)
+
+
+def test_cnet_ark_read(tmp_path):
+    import struct
+
+    p = tmp_path / "cnet.ark"
+    with open(p, "wb") as f:
+        f.write(b"utt1 \x00B\x04" + struct.pack("<i", 2))
+        # bin 1: time 5, one record (id 3, w 0.5)
+        f.write(b"\x04" + struct.pack("<i", 5) + b"\x04" + struct.pack("<i", 1))
+        f.write(b"\x04" + struct.pack("<i", 3) + b"\x04" + struct.pack("<f", 0.5))
+        # bin 2: time 9, no records
+        f.write(b"\x04" + struct.pack("<i", 9) + b"\x04" + struct.pack("<i", 0))
+    (k, cnet), = list(ka.read_cnet_ark(str(p)))
+    assert k == "utt1"
+    assert cnet[0][0] == 5 and cnet[0][1] == [(3, 0.5)]
+    assert cnet[1] == (9, [])

@@ -171,3 +171,14 @@ def test_plot_embeddings_writes_png(tmp_path):
 
         pytest.skip("matplotlib unavailable")
     assert os.path.getsize(out) > 5000  # a real PNG, not an empty file
+
+
+def _square(x):  # module-level: picklable for the process backend
+    return x * x
+
+
+def test_run_jobs_process_backend(tmp_path):
+    from pkr_tpu.utils.jobs import run_jobs
+
+    assert run_jobs(_square, [1, 2, 3], n_jobs=2, backend="process",
+                    log_dir=str(tmp_path)) == [1, 4, 9]
