@@ -187,30 +187,53 @@ class EvalLoader:
     Yields (utt_keys, feats (B, F, Tb), mask (B, Tb)) with all items in a
     batch sharing bucket length Tb.  Every utterance appears exactly once —
     no DistributedSampler padding, no dedup pass.
+
+    long_mode handles utterances beyond max_len (the reference simply ran
+    arbitrary lengths through dynamic shapes — datasets.py:185-189):
+    'truncate' keeps the first max_len frames; 'average' splits the
+    utterance into max_len windows emitted as segment keys
+    '<utt>##<k>' which extract_embeddings mean-pools back into one
+    embedding per utterance (the standard long-audio recipe; keeps every
+    compiled shape bounded).
     """
+
+    SEG_SEP = "##"
 
     def __init__(self, source: FeatureSource, batch_size: int = 8,
                  quantum: int = 100, max_len: Optional[int] = 2000,
-                 chunk_size: int = -1,
+                 chunk_size: int = -1, long_mode: str = "truncate",
                  process_index: int = 0, process_count: int = 1):
         self.source = source
         self.batch_size = batch_size
         self.quantum = quantum
         self.max_len = max_len
         self.chunk_size = chunk_size
+        self.long_mode = long_mode
         self.my_ids = list(range(process_index, len(source), process_count))
 
+    def _segments(self, i: int):
+        mat = self.source.read(i)
+        if self.chunk_size > 0:
+            mat = mat[: self.chunk_size]
+        utt = self.source.utts[i]
+        if (self.max_len is None or len(mat) <= self.max_len
+                or self.long_mode == "truncate"):
+            yield utt, mat[: self.max_len] if self.max_len else mat
+            return
+        n_seg = -(-len(mat) // self.max_len)
+        for k in range(n_seg):
+            seg = mat[k * self.max_len:(k + 1) * self.max_len]
+            yield f"{utt}{self.SEG_SEP}{k}", seg
+
     def __iter__(self) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
-        # read lengths lazily: one pass grouping by bucket
-        buckets: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        # read lazily: one pass grouping by bucket
+        buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
         for i in self.my_ids:
-            mat = self.source.read(i)
-            if self.chunk_size > 0:
-                mat = mat[: self.chunk_size]
-            L = int(bucket_lengths([len(mat)], self.quantum, self.max_len)[0])
-            buckets.setdefault(L, []).append((i, mat[: L]))
-            if len(buckets[L]) == self.batch_size:
-                yield self._emit(L, buckets.pop(L))
+            for key, mat in self._segments(i):
+                L = int(bucket_lengths([len(mat)], self.quantum, self.max_len)[0])
+                buckets.setdefault(L, []).append((key, mat[: L]))
+                if len(buckets[L]) == self.batch_size:
+                    yield self._emit(L, buckets.pop(L))
         for L in sorted(buckets):
             yield self._emit(L, buckets[L])
 
@@ -220,8 +243,8 @@ class EvalLoader:
         feats = np.zeros((B, F, L), np.float32)
         mask = np.zeros((B, L), bool)
         keys = []
-        for b, (i, mat) in enumerate(items):
+        for b, (key, mat) in enumerate(items):
             feats[b, :, : len(mat)] = mat.T
             mask[b, : len(mat)] = True
-            keys.append(self.source.utts[i])
+            keys.append(key)
         return keys, feats, mask

@@ -40,17 +40,34 @@ def make_embed_fn(model: SpeakerModel, variables):
 
 def extract_embeddings(model: SpeakerModel, variables, loader,
                        to_numpy: bool = True) -> Dict[str, np.ndarray]:
-    """Run extraction over an EvalLoader; returns {utt: embedding}."""
+    """Run extraction over an EvalLoader; returns {utt: embedding}.
+
+    Segment keys ('<utt>##<k>', emitted by EvalLoader long_mode='average')
+    are mean-pooled back into one embedding per utterance."""
     embed = make_embed_fn(model, variables)
     out: Dict[str, np.ndarray] = {}
+    seg_sum: Dict[str, np.ndarray] = {}
+    seg_cnt: Dict[str, int] = {}
+    sep = getattr(loader, "SEG_SEP", "##")
+
+    def absorb(keys, arr):
+        for k, e in zip(keys, arr):
+            if sep in k:
+                utt = k.rsplit(sep, 1)[0]
+                seg_sum[utt] = seg_sum.get(utt, 0.0) + e
+                seg_cnt[utt] = seg_cnt.get(utt, 0) + 1
+            else:
+                out[k] = e
+
     pending: list[Tuple[list, jax.Array]] = []
     for keys, feats, mask in loader:
         emb = embed(jnp.asarray(feats), jnp.asarray(mask))
         pending.append((keys, emb))  # don't block: overlap host IO with device
         if len(pending) >= 4:
             k, e = pending.pop(0)
-            arr = np.asarray(e)
-            out.update(zip(k, arr))
+            absorb(k, np.asarray(e))
     for k, e in pending:
-        out.update(zip(k, np.asarray(e)))
+        absorb(k, np.asarray(e))
+    for utt, total in seg_sum.items():
+        out[utt] = (total / seg_cnt[utt]).astype(np.float32)
     return out

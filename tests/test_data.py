@@ -166,3 +166,22 @@ def test_eval_loader_process_sharding(feat_dir):
         for keys, _, _ in loader:
             seen.extend(keys)
     assert sorted(seen) == sorted(src.utts)  # exact partition, no dup/drop
+
+
+def test_eval_loader_long_mode_average(feat_dir):
+    src_dir, utts = feat_dir
+    src = FeatureSource(str(src_dir / "f.scp"))
+    loader = EvalLoader(src, batch_size=3, quantum=50, max_len=100,
+                        long_mode="average")
+    seen = {}
+    for keys, feats, mask in loader:
+        for b, k in enumerate(keys):
+            seen[k] = int(mask[b].sum())
+    # long utterances appear as ##k segments covering all their frames
+    for i, (u, m) in enumerate(sorted(utts.items())):
+        if len(m) <= 100:
+            assert u in seen and seen[u] == len(m)
+        else:
+            segs = [k for k in seen if k.startswith(u + "##")]
+            assert len(segs) == -(-len(m) // 100)
+            assert sum(seen[s] for s in segs) == len(m)

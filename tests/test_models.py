@@ -161,3 +161,38 @@ def test_densenet_trunk_runs():
     vars_ = model.init(jax.random.key(0), x, train=False)
     emb = model.apply(vars_, x, method=SpeakerModel.embed)
     assert emb.shape == (1, 256)
+
+
+def test_extract_long_mode_average_merges():
+    """extract_embeddings mean-pools ##k segments into one utt embedding."""
+    from pkr_tpu.data.loader import EvalLoader, FeatureSource
+    from pkr_tpu.eval.extract import extract_embeddings
+    from pkr_tpu.io import kaldi_ark
+    import tempfile, os
+
+    rng = np.random.default_rng(6)
+    d = tempfile.mkdtemp()
+    mats = {"short": rng.standard_normal((40, 8)).astype(np.float32),
+            "long": rng.standard_normal((130, 8)).astype(np.float32)}
+    with kaldi_ark.write_ark_scp(os.path.join(d, "f.ark"),
+                                 os.path.join(d, "f.scp")) as w:
+        for k, v in mats.items():
+            w.write(k, v)
+    model = SpeakerModel(spk_num=3, feat_dim=8, trunk="tiny_resnet",
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)), train=False)
+    src = FeatureSource(os.path.join(d, "f.scp"))
+    loader = EvalLoader(src, batch_size=2, quantum=50, max_len=50,
+                        long_mode="average")
+    embs = extract_embeddings(model, variables, loader)
+    assert set(embs) == {"short", "long"}
+    # 'long' = mean of its 3 window embeddings
+    def embed_win(mat):
+        feats = np.zeros((1, 8, 50), np.float32)
+        feats[0, :, :len(mat)] = mat.T
+        mask = (np.arange(50) < len(mat))[None]
+        return np.asarray(model.apply(variables, jnp.asarray(feats),
+                                      jnp.asarray(mask), method=SpeakerModel.embed))[0]
+    wins = [embed_win(mats["long"][k * 50:(k + 1) * 50]) for k in range(3)]
+    np.testing.assert_allclose(embs["long"], np.mean(wins, axis=0),
+                               rtol=1e-5, atol=1e-5)
