@@ -38,8 +38,8 @@ def make_embed_fn(model: SpeakerModel, variables):
     return embed
 
 
-def extract_embeddings(model: SpeakerModel, variables, loader,
-                       to_numpy: bool = True) -> Dict[str, np.ndarray]:
+def extract_embeddings(model: SpeakerModel, variables, loader
+                       ) -> Dict[str, np.ndarray]:
     """Run extraction over an EvalLoader; returns {utt: embedding}.
 
     Segment keys ('<utt>##<k>', emitted by EvalLoader long_mode='average')

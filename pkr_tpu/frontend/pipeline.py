@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pkr_tpu.frontend.features import FbankConfig, _fbank_frames, frame_signal
 from pkr_tpu.frontend.vad import VadConfig, energy_vad
@@ -68,9 +69,7 @@ def wav_to_train_feats(wav: jnp.ndarray, length: jnp.ndarray,
         x = x + fb_cfg.dither * jax.random.normal(k_vad, x.shape, jnp.float32)
     if fb_cfg.remove_dc_offset:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
-    import numpy as _np
-
-    loge = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), float(_np.finfo(_np.float32).eps)))
+    loge = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), float(np.finfo(np.float32).eps)))
 
     vad = energy_vad(loge, mask, cfg.vad)
     feats = sliding_cmvn(mel, mask, cfg.cmn_window, cfg.cmn_center, cfg.cmn_norm_vars)

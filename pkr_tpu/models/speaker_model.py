@@ -82,7 +82,10 @@ class SpeakerModel(nn.Module):
                 tmask = jnp.arange(fmap.shape[2])[None, :] < n_valid[:, None]
             pooled = stats_pool(fmap, tmask, self.pooling)
             flat = flatten_pooled(pooled)
-        else:  # (B, T', C) trunks (thin_resnet, densenet): pool over time
+        else:
+            # (B, T', C) trunks (thin_resnet, densenet) pool over time without
+            # a mask: these zoo trunks are fixed-chunk paths in the reference
+            # too (no bucketed extraction ran through them)
             pooled = stats_pool(fmap[:, None, :, :], None, self.pooling)
             flat = flatten_pooled(pooled)
         return self.fc1(flat)

@@ -405,7 +405,18 @@ def main(argv=None):
                                   seed=cfg.train.seed)
 
     for stage in _stage_range(args):
-        if stage == 1:
+        if stage == 0:
+            from pkr_tpu.io import DataDir
+
+            for d in filter(None, (args.data_dir, args.test_data_dir)):
+                dd = DataDir.load(d)
+                problems = dd.validate()
+                print(f"== stage 0: {d}: {dd.num_utts} utts / "
+                      f"{len(dd.spks)} speakers"
+                      + (f"  PROBLEMS: {problems}" if problems else "  OK"))
+                if problems:
+                    raise RuntimeError(f"data dir {d} failed validation: {problems}")
+        elif stage == 1:
             print(f"== stage 1: features → {feat_dir}")
             dither = cfg.frontend.fbank.dither
             run_features(args.data_dir, feat_dir, dither=dither, pools=pools,
