@@ -219,3 +219,25 @@ def test_cli_with_musan_dir(tmp_path):
     aug_dd = DD.load(str(tmp_path / "data_aug"))
     assert set(feats) == set(aug_dd.utts)
     assert all(np.isfinite(m).all() for m in feats.values())
+
+
+def test_recipe_resume(tmp_path, tiny_cfg):
+    """--resume continues from the saved epoch (train_resnet.py:209-229 role)."""
+    import dataclasses
+
+    data_dir = str(tmp_path / "data")
+    exp_dir = str(tmp_path / "exp")
+    synth_corpus(data_dir, n_spk=3, n_utt=4, seconds=1.0)
+    feat_dir = os.path.join(exp_dir, "feats")
+    recipe.run_features(data_dir, feat_dir, batch=4, dither=0.0)
+    recipe.run_split(feat_dir, data_dir, min_frames=50, cv_fraction=0.25, seed=0)
+
+    cfg2 = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+        tiny_cfg.train, epochs=2, batch_size=8))
+    recipe.run_train(cfg2, feat_dir, exp_dir)
+    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "2"
+
+    cfg3 = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+        tiny_cfg.train, epochs=3, batch_size=8, resume=True))
+    recipe.run_train(cfg3, feat_dir, exp_dir)  # runs only epoch 3
+    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "3"

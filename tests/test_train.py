@@ -229,3 +229,19 @@ def test_warm_start_cross_head(tmp_path):
     _, step = make_train_step(aam)
     _, m = step(a_state, x, y, jnp.asarray(0.05, jnp.float32))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_step_deterministic(tiny_setup):
+    """Same state + same batch → bit-identical update (the reproducibility
+    the reference only approximated with cudnn.deterministic warnings,
+    train_resnet.py:99-107)."""
+    model, state, feats, labels = tiny_setup
+    _, step = make_train_step(model)
+    s1, m1 = step(state, jnp.asarray(feats), jnp.asarray(labels),
+                  jnp.asarray(0.05, jnp.float32))
+    s2, m2 = step(state, jnp.asarray(feats), jnp.asarray(labels),
+                  jnp.asarray(0.05, jnp.float32))
+    assert float(m1["loss"]) == float(m2["loss"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        jax.device_get(s1.params), jax.device_get(s2.params))
