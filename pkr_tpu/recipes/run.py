@@ -39,12 +39,16 @@ def _stage_range(args):
 def run_features(data_dir: str, out_dir: str, batch: int = 8,
                  quantum_sec: float = 2.0, dither: float = 1.0,
                  apply_vad: bool = True, seed: int = 0,
-                 pools=None) -> None:
+                 pools=None, n_jobs: int = 4) -> None:
     """Batched on-device feature extraction over a data dir's wav.scp.
 
     Honors declarative augmentation tables when present (utt2speed applied
     at decode, utt2aug mixed on device via `pools`, an
-    recipes.augment_dir.AugmentPools)."""
+    recipes.augment_dir.AugmentPools).  Wav decode runs on an n_jobs thread
+    pool (the nj-way fan-out role of make_fbank.sh's run.pl jobs —
+    ffmpeg/sox pipe entries are subprocess-bound, so threads overlap them
+    even on one core); augmentation and device work stay on the main thread
+    for deterministic RNG use."""
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +108,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 vw.write(utt, vad[b, :nf].astype(np.float32))
                 utt2nf[utt] = n
 
-        for utt, rx in entries:
+        def decode(entry):
+            utt, rx = entry
             wav, rate = read_wav(rx)
             assert rate == fb.sample_frequency, (utt, rate)
             speed = float(utt2speed.get(utt, "1.0")) if utt2speed else 1.0
@@ -112,6 +117,18 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 from pkr_tpu.data.augment import speed_perturb
 
                 wav = speed_perturb(wav, speed)
+            return utt, wav
+
+        if n_jobs > 1 and len(entries) > 1:
+            from multiprocessing.pool import ThreadPool
+
+            pool = ThreadPool(n_jobs)
+            decoded = pool.imap(decode, entries)  # ordered: determinism
+        else:
+            pool = None
+            decoded = map(decode, entries)
+
+        for utt, wav in decoded:
             kind = utt2aug.get(utt, "none") if utt2aug else "none"
             if pools is not None and kind != "none":
                 wav = pools.apply(wav.astype(np.float32), len(wav), kind)
@@ -123,6 +140,9 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 flush(bkey, buckets.pop(bkey))
         for bkey in sorted(buckets):
             flush(bkey, buckets[bkey])
+        if pool is not None:
+            pool.close()
+            pool.join()
 
     with open(os.path.join(out_dir, "utt2num_frames"), "w") as f:
         for utt in sorted(utt2nf):
