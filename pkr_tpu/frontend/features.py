@@ -19,9 +19,11 @@ TPU-first design — this is NOT the Kaldi dataflow:
               power @ melbank.T  → log              (third MXU matmul)
 
   No FFT, no zero-padding, no per-frame loops; everything batches over
-  (B, T) frames and stays in f32 on the MXU.  Framing itself is one gather
-  that also realizes snip-edges=false mirror padding with per-utterance
-  true lengths, so variable-length batches keep static shapes.
+  (B, T) frames and stays in f32 on the MXU (the GEMM-native NDFT idea —
+  cf. MelT, arXiv:2606.01009 — taken further by folding the whole framing
+  chain into the basis).  Framing itself is slice-based and realizes
+  snip-edges=false mirror padding with per-utterance true lengths, so
+  variable-length batches keep static shapes.
 
 Dither uses jax.random.normal per element (a true Gaussian); Kaldi draws
 from its own RNG so bit-level parity of dithered features is impossible by

@@ -209,3 +209,38 @@ def test_cnet_ark_read(tmp_path):
     assert k == "utt1"
     assert cnet[0][0] == 5 and cnet[0][1] == [(3, 0.5)]
     assert cnet[1] == (9, [])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_compressed_fuzz_roundtrip(seed):
+    """Fuzz the CM codec across shapes/scales/distributions; round-trip error
+    must stay within each column's quantization step."""
+    rng = np.random.default_rng(seed)
+    rows = int(rng.integers(1, 400))
+    cols = int(rng.integers(1, 64))
+    kind = seed % 4
+    if kind == 0:
+        m = rng.standard_normal((rows, cols)) * rng.uniform(1e-3, 1e4)
+    elif kind == 1:
+        m = rng.uniform(-1e6, 1e6, (rows, cols))
+    elif kind == 2:
+        m = np.full((rows, cols), rng.uniform(-5, 5))  # constant
+    else:
+        m = rng.standard_normal((rows, cols)) * np.logspace(-3, 3, cols)
+    m = m.astype(np.float32)
+    blob = ka.compress_matrix(m)
+    got = ka.decompress_matrix(_io.BytesIO(blob[3:]))
+    assert got.shape == m.shape
+    col_range = m.max(axis=0) - m.min(axis=0)
+    # worst-case step is range/63 within a column plus uint16 header rounding
+    bound = col_range / 50 + (m.max() - m.min() + 1) * 4e-5 + 1e-6
+    assert (np.abs(got - m).max(axis=0) <= bound).all()
+    # native decoder agrees bit-for-bit when available
+    from pkr_tpu.io import native
+    if native.available():
+        import tempfile, os as _os
+        d = tempfile.mkdtemp()
+        with open(_os.path.join(d, "f.ark"), "wb") as f:
+            f.write(b"\x00B" + blob)
+        nat = native.read_mat(_os.path.join(d, "f.ark"), 0)
+        np.testing.assert_array_equal(nat, got)
