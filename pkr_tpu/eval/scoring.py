@@ -69,9 +69,11 @@ def cosine_scores(enroll: Dict[str, np.ndarray], test: Dict[str, np.ndarray],
                   mean: np.ndarray | None = None) -> np.ndarray:
     """Scores for (enroll_key, test_key) trial pairs, mean-centered cosine.
 
-    Computes the full normalized enroll×test score matrix as one matmul and
-    gathers the trial entries (cosine_score.py did one
-    F.cosine_similarity per python-loop iteration)."""
+    Dense trial sets (≳1/4 of the full cross) go through one normalized
+    enroll×test matmul; sparse ones (VoxCeleb1-E/H: 580k pairs over 145k
+    utterances, where the full matrix would be 90 GB) use a row-gathered
+    pairwise dot — O(trials·D) work either way far below the reference's
+    per-trial python loop (cosine_score.py:60-66)."""
     e_keys = list(enroll)
     t_keys = list(test)
     e_idx = {k: i for i, k in enumerate(e_keys)}
@@ -81,10 +83,14 @@ def cosine_scores(enroll: Dict[str, np.ndarray], test: Dict[str, np.ndarray],
     if mean is not None:
         e = e - mean
         t = t - mean
-    scores = _matmul(_normalize_rows(e), _normalize_rows(t).T)
+    e = _normalize_rows(e)
+    t = _normalize_rows(t)
     rows = np.fromiter((e_idx[a] for a, _ in trials), np.int64, len(trials))
     cols = np.fromiter((t_idx[b] for _, b in trials), np.int64, len(trials))
-    return scores[rows, cols]
+    if len(trials) * 4 >= len(e_keys) * len(t_keys):
+        scores = _matmul(e, t.T)
+        return scores[rows, cols]
+    return np.einsum("nd,nd->n", e[rows], t[cols])
 
 
 def cohort_topk_stats(vecs: Dict[str, np.ndarray], cohort: np.ndarray,
@@ -100,12 +106,18 @@ def cohort_topk_stats(vecs: Dict[str, np.ndarray], cohort: np.ndarray,
     if mean is not None:
         mat = mat - mean
         coh = coh - mean
-    scores = _matmul(_normalize_rows(mat), _normalize_rows(coh).T)  # (N, C)
-    k = min(topk, scores.shape[1])
-    # top-k per row
-    part = np.partition(scores, scores.shape[1] - k, axis=1)[:, -k:]
-    mu = part.mean(axis=1)
-    sd = part.std(axis=1, ddof=1)
+    mat = _normalize_rows(mat)
+    cohT = _normalize_rows(coh).T
+    k = min(topk, coh.shape[0])
+    # chunk rows so the (N, C) score block stays bounded (N can be 145k utts)
+    chunk = max(1, (1 << 27) // max(coh.shape[0], 1))
+    mu = np.empty(len(keys), np.float64)
+    sd = np.empty(len(keys), np.float64)
+    for lo in range(0, len(keys), chunk):
+        scores = _matmul(mat[lo:lo + chunk], cohT)
+        part = np.partition(scores, scores.shape[1] - k, axis=1)[:, -k:]
+        mu[lo:lo + chunk] = part.mean(axis=1)
+        sd[lo:lo + chunk] = part.std(axis=1, ddof=1)
     return {key: (float(mu[i]), float(sd[i])) for i, key in enumerate(keys)}
 
 

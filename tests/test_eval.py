@@ -185,3 +185,30 @@ def test_metrics_cli(tmp_path, capsys):
                  str(tmp_path / "trials")]) == 0
     out2 = capsys.readouterr().out.strip()
     assert 0.0 <= float(out2) <= 1.0
+
+
+def test_scoring_at_voxceleb_e_scale():
+    """VoxCeleb1-E shape: sparse trials over many utterances must not
+    materialize the full cross matrix, and both paths agree."""
+    rng = np.random.default_rng(10)
+    n_utt, D = 20000, 64  # scaled-down E-shape (sparse: 50k of 400M pairs)
+    vecs = {f"u{i}": rng.standard_normal(D).astype(np.float32)
+            for i in range(n_utt)}
+    pairs = [(f"u{rng.integers(n_utt)}", f"u{rng.integers(n_utt)}")
+             for _ in range(50000)]
+    import time
+
+    t0 = time.perf_counter()
+    sparse = cosine_scores(vecs, vecs, pairs)
+    dt = time.perf_counter() - t0
+    assert dt < 30, dt
+    # agree with the dense matrix path on a small subset
+    sub_keys = sorted({k for p in pairs[:200] for k in p})
+    sub = {k: vecs[k] for k in sub_keys}
+    dense = cosine_scores(sub, sub, pairs[:200])
+    np.testing.assert_allclose(sparse[:200], dense, rtol=1e-5, atol=1e-6)
+    # chunked cohort stats on a tall input
+    cohort = rng.standard_normal((500, D)).astype(np.float32)
+    stats = cohort_topk_stats({k: vecs[k] for k in list(vecs)[:3000]},
+                              cohort, topk=50)
+    assert len(stats) == 3000
