@@ -196,3 +196,25 @@ def test_extract_long_mode_average_merges():
     wins = [embed_win(mats["long"][k * 50:(k + 1) * 50]) for k in range(3)]
     np.testing.assert_allclose(embs["long"], np.mean(wins, axis=0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fbank80_geometry():
+    """BASELINE.json's extraction config mentions fbank-80: the fc1 geometry
+    (feat+7)//8 = 10 and the frontend's num_mel_bins are both parametric."""
+    from pkr_tpu.frontend import FbankConfig, fbank
+
+    cfg = FbankConfig(num_mel_bins=80, dither=0.0)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal(8000) * 500,
+                      jnp.float32)
+    feats, mask = fbank(wav, jnp.asarray(8000), cfg)
+    assert feats.shape[-1] == 80
+    assert bool(jnp.isfinite(feats).all())
+
+    model = SpeakerModel(spk_num=4, feat_dim=80, trunk="tiny_resnet",
+                         pooling="mean+std", dtype=jnp.float32)
+    x = jnp.zeros((1, 80, 16))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    emb = model.apply(vars_, x, method=SpeakerModel.embed)
+    assert emb.shape == (1, 256)
+    # fc1 in-dim = (80+7)//8 freq bins * 2 (mean+std) * trunk channels (64)
+    assert vars_["params"]["fc1"]["kernel"].shape[0] == 10 * 2 * 64
