@@ -267,3 +267,49 @@ def test_full_pipeline_runs_and_masks():
     assert vad[0].sum() > 0.5 * num_frames(20000, CFG)
     # padded region contributes nothing
     assert np.abs(feats[1][~mask[1]]).sum() == 0
+
+
+@pytest.mark.parametrize("window", ["hanning", "hamming", "rectangular", "blackman"])
+def test_fbank_window_types_match_oracle(window):
+    cfg = FbankConfig(dither=0.0, window_type=window)
+    wav = make_wav(8000, seed=42)
+    ref = oracle_fbank(wav, cfg)
+    got, mask = fbank(jnp.asarray(wav), jnp.asarray(len(wav)), cfg)
+    m = int(np.asarray(mask[0]).sum())
+    np.testing.assert_allclose(np.asarray(got[0])[:m], ref, rtol=3e-4, atol=3e-4)
+
+
+def test_fbank_nyquist_and_magnitude_variants():
+    # high_freq=0 → Nyquist (kaldi.py:377-378); use_power=False → magnitude
+    for cfg in (FbankConfig(dither=0.0, high_freq=0.0),
+                FbankConfig(dither=0.0, use_power=False),
+                FbankConfig(dither=0.0, use_log_fbank=False),
+                FbankConfig(dither=0.0, snip_edges=True)):
+        wav = make_wav(8000, seed=7)
+        ref = oracle_fbank_variant(wav, cfg)
+        got, mask = fbank(jnp.asarray(wav), jnp.asarray(len(wav)), cfg)
+        m = int(np.asarray(mask[0]).sum())
+        assert m == ref.shape[0], (cfg, m, ref.shape)
+        np.testing.assert_allclose(np.asarray(got[0])[:m], ref, rtol=3e-4,
+                                   atol=3e-4, err_msg=str(cfg))
+
+
+def oracle_fbank_variant(wav, cfg):
+    """oracle_fbank generalized to use_power/use_log_fbank variants."""
+    frames = oracle_frames(wav, cfg).astype(np.float64)
+    eps = float(np.finfo(np.float32).eps)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis != 0.0:
+        shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * shifted
+    frames = frames * _window_function(cfg)
+    padded = np.zeros((frames.shape[0], cfg.padded_window_size))
+    padded[:, : cfg.window_size] = frames
+    power = np.abs(np.fft.rfft(padded, axis=1)) ** 2
+    if not cfg.use_power:
+        power = np.sqrt(power)
+    mel = power @ mel_banks(cfg).astype(np.float64).T
+    if cfg.use_log_fbank:
+        mel = np.log(np.maximum(mel, eps))
+    return mel
