@@ -43,8 +43,14 @@ def extract_embeddings(model: SpeakerModel, variables, loader
     """Run extraction over an EvalLoader; returns {utt: embedding}.
 
     Segment keys ('<utt>##<k>', emitted by EvalLoader long_mode='average')
-    are mean-pooled back into one embedding per utterance."""
+    are mean-pooled back into one embedding per utterance.
+
+    Feature batches transfer in the trunk's compute dtype: for bf16 models
+    the conv stack casts its input to bf16 on device anyway, so casting on
+    the host is bit-identical and halves host→device bytes (which dominates
+    extraction when the link is slow)."""
     embed = make_embed_fn(model, variables)
+    xfer_dtype = jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32
     out: Dict[str, np.ndarray] = {}
     seg_sum: Dict[str, np.ndarray] = {}
     seg_cnt: Dict[str, int] = {}
@@ -61,7 +67,7 @@ def extract_embeddings(model: SpeakerModel, variables, loader
 
     pending: list[Tuple[list, jax.Array]] = []
     for keys, feats, mask in loader:
-        emb = embed(jnp.asarray(feats), jnp.asarray(mask))
+        emb = embed(jnp.asarray(feats, dtype=xfer_dtype), jnp.asarray(mask))
         pending.append((keys, emb))  # don't block: overlap host IO with device
         if len(pending) >= 4:
             k, e = pending.pop(0)
