@@ -45,6 +45,7 @@ class TrainConfig:
     pretrained: Optional[str] = None
     resume: bool = False
     flash_aam: bool = False  # Pallas flash classifier loss (large spk counts)
+    device_cache: bool = False  # HBM-resident quantized features (host-free loop)
 
 
 @dataclass(frozen=True)

@@ -201,7 +201,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     n_data = mesh.devices.shape[0]
 
     def make_loader(split):
-        src = FeatureSource(os.path.join(feat_dir, split, "feats.scp"))
+        scp = os.path.join(feat_dir, split, "feats.scp")
+        src = FeatureSource(scp)
         u2id = {u: int(v) for u, v in
                 (l.split() for l in open(os.path.join(feat_dir, split, "utt2spkid")))}
         labels = [u2id[u] for u in src.utts]
@@ -214,6 +215,14 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         # the batch must stay divisible by the mesh's data axis
         batch = min(cfg.train.batch_size, len(sampler))
         batch = max(n_data, batch // n_data * n_data)
+        if cfg.train.device_cache and split == "train" and isinstance(chunk, int):
+            from pkr_tpu.data import DeviceCacheLoader, DeviceFeatureCache
+
+            cache = DeviceFeatureCache.from_scp(scp, u2id)
+            print(f"device cache: {cache.nbytes / 1e6:.1f} MB in HBM "
+                  f"({len(src)} utterances)")
+            return DeviceCacheLoader(cache, sampler, batch, chunk,
+                                     seed=cfg.train.seed)
         return TrainLoader(src, labels, sampler, batch, chunk,
                            seed=cfg.train.seed)
 

@@ -241,3 +241,20 @@ def test_recipe_resume(tmp_path, tiny_cfg):
         tiny_cfg.train, epochs=3, batch_size=8, resume=True))
     recipe.run_train(cfg3, feat_dir, exp_dir)  # runs only epoch 3
     assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "3"
+
+
+def test_recipe_device_cache_training(tmp_path, tiny_cfg):
+    """train.device_cache=True trains from the HBM-resident quantized
+    corpus through the recipe."""
+    import dataclasses
+
+    data_dir = str(tmp_path / "data")
+    exp_dir = str(tmp_path / "exp")
+    synth_corpus(data_dir, n_spk=3, n_utt=4, seconds=1.0)
+    feat_dir = os.path.join(exp_dir, "feats")
+    recipe.run_features(data_dir, feat_dir, batch=4, dither=0.0)
+    recipe.run_split(feat_dir, data_dir, min_frames=50, cv_fraction=0.25, seed=0)
+    cfg = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+        tiny_cfg.train, epochs=1, batch_size=8, device_cache=True))
+    recipe.run_train(cfg, feat_dir, exp_dir)
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints", "latest"))
