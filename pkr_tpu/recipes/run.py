@@ -195,6 +195,7 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     from pkr_tpu.train.checkpoint import import_torch_checkpoint
     from pkr_tpu.utils.logging import ProgressLogger
 
+    os.makedirs(exp_dir, exist_ok=True)
     num_spk = int(open(os.path.join(feat_dir, "num_spk")).read())
     model = build_model(cfg.model, num_spk)
     mesh = make_mesh()
