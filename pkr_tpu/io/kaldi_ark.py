@@ -321,14 +321,22 @@ def _read_mat_ascii(fd: BinaryIO) -> np.ndarray:
         rows.append(np.array(toks, dtype=np.float32))
 
 
-def write_mat(file_or_fd, m: np.ndarray, key: str = "", compress: bool = False) -> None:
-    """Write a binary Kaldi matrix; ``compress=True`` emits 'CM ' format
-    (the on-disk format produced by ``copy-feats --compress=true``,
-    make_fbank.sh:107)."""
+def write_mat(file_or_fd, m: np.ndarray, key: str = "", compress: bool = False,
+              text: bool = False) -> None:
+    """Write a Kaldi matrix; ``compress=True`` emits 'CM ' format (the
+    on-disk format produced by ``copy-feats --compress=true``,
+    make_fbank.sh:107); ``text=True`` writes the ascii 'ark,t' form."""
     m = np.asarray(m)
     assert m.ndim == 2
     fd = open_or_fd(file_or_fd, "ab")
     try:
+        if text:
+            lines = [f"{key}  [" if key else " ["]
+            for row in m:
+                lines.append("  " + " ".join(repr(float(v)) for v in row))
+            lines[-1] += " ]"
+            fd.write(("\n".join(lines) + "\n").encode())
+            return
         if key:
             fd.write((key + " ").encode("latin1"))
         fd.write(b"\x00B")

@@ -185,3 +185,20 @@ def test_eval_loader_long_mode_average(feat_dir):
             segs = [k for k in seen if k.startswith(u + "##")]
             assert len(segs) == -(-len(m) // 100)
             assert sum(seen[s] for s in segs) == len(m)
+
+
+def test_eval_loader_over_materialized_source(feat_dir, tmp_path):
+    """EvalLoader duck-types over MaterializedSource (memmap pack serving)."""
+    from pkr_tpu.data.materialize import MaterializedSource, materialize
+
+    src_dir, utts = feat_dir
+    idx = materialize(str(src_dir / "f.scp"), str(tmp_path / "p"), dtype="float32")
+    src = MaterializedSource(idx)
+    loader = EvalLoader(src, batch_size=4, quantum=50, max_len=150)
+    seen = set()
+    for keys, feats, mask in loader:
+        for b, k in enumerate(keys):
+            n = int(mask[b].sum())
+            np.testing.assert_allclose(feats[b, :, :n], utts[k][:n].T, rtol=1e-6)
+            seen.add(k)
+    assert seen == set(src.utts)

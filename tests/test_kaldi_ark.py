@@ -244,3 +244,11 @@ def test_compressed_fuzz_roundtrip(seed):
             f.write(b"\x00B" + blob)
         nat = native.read_mat(_os.path.join(d, "f.ark"), 0)
         np.testing.assert_array_equal(nat, got)
+
+
+def test_text_matrix_roundtrip(tmp_path):
+    m = np.array([[1.5, -2.0, 3.25], [0.0, 7.125, -0.5]], np.float32)
+    p = tmp_path / "t.ark"
+    ka.write_mat(str(p), m, key="u1", text=True)
+    d = dict(ka.read_mat_ark(str(p)))
+    np.testing.assert_allclose(d["u1"], m, rtol=1e-6)
