@@ -77,3 +77,20 @@ def extract_embeddings(model: SpeakerModel, variables, loader
     for utt, total in seg_sum.items():
         out[utt] = (total / seg_cnt[utt]).astype(np.float32)
     return out
+
+
+def warmup_buckets(model: SpeakerModel, variables, feat_dim: int = 40,
+                   batch_size: int = 8, quantum: int = 100,
+                   max_len: int = 2000) -> int:
+    """Precompile every (batch, bucket-length) extraction executable so the
+    first real corpus pass hits no compile stalls (useful for serving and
+    for amortizing the remote-compile latency of fresh environments).
+    Returns the number of programs compiled."""
+    embed = make_embed_fn(model, variables)
+    n = 0
+    for L in range(quantum, max_len + 1, quantum):
+        feats = jnp.zeros((batch_size, feat_dim, L), jnp.float32)
+        mask = jnp.ones((batch_size, L), bool)
+        jax.block_until_ready(embed(feats, mask))
+        n += 1
+    return n

@@ -218,3 +218,14 @@ def test_fbank80_geometry():
     assert emb.shape == (1, 256)
     # fc1 in-dim = (80+7)//8 freq bins * 2 (mean+std) * trunk channels (64)
     assert vars_["params"]["fc1"]["kernel"].shape[0] == 10 * 2 * 64
+
+
+def test_warmup_buckets():
+    from pkr_tpu.eval.extract import warmup_buckets
+
+    model = SpeakerModel(spk_num=3, feat_dim=8, trunk="tiny_resnet",
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)), train=False)
+    n = warmup_buckets(model, variables, feat_dim=8, batch_size=2,
+                       quantum=32, max_len=96)
+    assert n == 3
