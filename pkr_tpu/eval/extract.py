@@ -24,21 +24,45 @@ def _embed_jit(model, variables, feats, mask):
                        method=SpeakerModel.embed)
 
 
-def make_embed_fn(model: SpeakerModel, variables):
+def make_embed_fn(model: SpeakerModel, variables, mesh=None):
     """Returns (feats (B, F, T), mask (B, T)) → (B, emb_dim).
 
     The jit lives at module level with `variables` as an ARGUMENT, not a
     closure: re-creating a jitted closure per extraction call would re-trace
     and re-compile every length bucket each time (measured ~5 s/bucket
-    through the remote-compile tunnel)."""
+    through the remote-compile tunnel).
+
+    With a mesh, batches are sharded over its 'data' axis (single-host
+    multi-chip inference; ragged final batches are padded to the axis size
+    and the pad rows dropped)."""
+    if mesh is None:
+        def embed(feats, mask):
+            return _embed_jit(model, variables, feats, mask)
+
+        return embed
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_shard = NamedSharding(mesh, P("data"))
+    n_data = mesh.devices.shape[0]
 
     def embed(feats, mask):
-        return _embed_jit(model, variables, feats, mask)
+        b = feats.shape[0]
+        pad = (-b) % n_data
+        if pad:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            mask = jnp.concatenate(
+                [mask, jnp.ones((pad,) + mask.shape[1:], mask.dtype)])
+        feats = jax.device_put(feats, batch_shard)
+        mask = jax.device_put(mask, batch_shard)
+        out = _embed_jit(model, variables, feats, mask)
+        return out[:b]
 
     return embed
 
 
-def extract_embeddings(model: SpeakerModel, variables, loader
+def extract_embeddings(model: SpeakerModel, variables, loader, mesh=None
                        ) -> Dict[str, np.ndarray]:
     """Run extraction over an EvalLoader; returns {utt: embedding}.
 
@@ -49,7 +73,7 @@ def extract_embeddings(model: SpeakerModel, variables, loader
     the conv stack casts its input to bf16 on device anyway, so casting on
     the host is bit-identical and halves host→device bytes (which dominates
     extraction when the link is slow)."""
-    embed = make_embed_fn(model, variables)
+    embed = make_embed_fn(model, variables, mesh=mesh)
     xfer_dtype = jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32
     out: Dict[str, np.ndarray] = {}
     seg_sum: Dict[str, np.ndarray] = {}

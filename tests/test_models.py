@@ -229,3 +229,31 @@ def test_warmup_buckets():
     n = warmup_buckets(model, variables, feat_dim=8, batch_size=2,
                        quantum=32, max_len=96)
     assert n == 3
+
+
+def test_extract_sharded_over_mesh():
+    """Extraction batches sharded over the 8-device mesh == unsharded, with
+    ragged final batches padded to the data axis."""
+    from pkr_tpu.data.loader import EvalLoader, FeatureSource
+    from pkr_tpu.eval.extract import extract_embeddings
+    from pkr_tpu.io import kaldi_ark
+    from pkr_tpu.parallel import make_mesh
+    import tempfile, os
+
+    rng = np.random.default_rng(11)
+    d = tempfile.mkdtemp()
+    with kaldi_ark.write_ark_scp(os.path.join(d, "f.ark"),
+                                 os.path.join(d, "f.scp")) as w:
+        for i in range(11):  # odd count → ragged last batch
+            w.write(f"u{i:02d}", rng.standard_normal((30 + 7 * i, 8)).astype(np.float32))
+    model = SpeakerModel(spk_num=3, feat_dim=8, trunk="tiny_resnet",
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)), train=False)
+    src = FeatureSource(os.path.join(d, "f.scp"))
+    mk = lambda: EvalLoader(src, batch_size=8, quantum=32, max_len=128)
+    plain = extract_embeddings(model, variables, mk())
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = extract_embeddings(model, variables, mk(), mesh=mesh)
+    assert set(plain) == set(sharded)
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5, atol=1e-6)
