@@ -298,7 +298,12 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
     loader = EvalLoader(src, batch_size=cfg.eval.batch_size,
                         quantum=cfg.eval.bucket_quantum, max_len=cfg.eval.max_len,
                         chunk_size=cfg.eval.chunk_size)
-    embs = extract_embeddings(model, variables, loader)
+    mesh = None
+    if jax.device_count() > 1:
+        from pkr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+    embs = extract_embeddings(model, variables, loader, mesh=mesh)
     write_text_vec_ark(os.path.join(exp_dir, out_name), embs)
 
 
