@@ -57,6 +57,7 @@ class EvalConfig:
     chunk_size: int = -1
     bucket_quantum: int = 100
     max_len: int = 3000
+    long_mode: str = "truncate"  # or 'average': window-mean very long audio
     lda_dim: int = 200  # run.sh:331
 
 

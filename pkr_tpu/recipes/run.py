@@ -297,7 +297,8 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
     src = FeatureSource(scp)
     loader = EvalLoader(src, batch_size=cfg.eval.batch_size,
                         quantum=cfg.eval.bucket_quantum, max_len=cfg.eval.max_len,
-                        chunk_size=cfg.eval.chunk_size)
+                        chunk_size=cfg.eval.chunk_size,
+                        long_mode=cfg.eval.long_mode)
     mesh = None
     if jax.device_count() > 1:
         from pkr_tpu.parallel import make_mesh
