@@ -26,9 +26,11 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state: TrainState, is_best: bool = False) -> None:
+def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
+                    keep_last: int = 0) -> None:
     """Save to <path>/ckpt_<epoch>; copy to <path>/best when is_best
-    (model_best.pth.tar semantics, train_resnet.py:384-385)."""
+    (model_best.pth.tar semantics, train_resnet.py:384-385).  keep_last > 0
+    prunes older ckpt_* dirs, retaining the newest N (plus 'best')."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     epoch = int(state.epoch)
@@ -43,6 +45,12 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False) -> None
         if os.path.exists(best):
             shutil.rmtree(best)
         shutil.copytree(target, best)
+    if keep_last > 0:
+        epochs = sorted(
+            (int(d[5:]) for d in os.listdir(path)
+             if d.startswith("ckpt_") and d[5:].isdigit()), reverse=True)
+        for old in epochs[keep_last:]:
+            shutil.rmtree(os.path.join(path, f"ckpt_{old}"), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, template: TrainState,

@@ -2,6 +2,8 @@
 a sharded train step on the 8-device mesh, checkpoint round trip, and the
 torch-checkpoint importer."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -245,3 +247,16 @@ def test_train_step_deterministic(tiny_setup):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_checkpoint_retention(tiny_setup, tmp_path):
+    model, state, feats, labels = tiny_setup
+    for e in (1, 2, 3, 4):
+        s = state.replace(epoch=jnp.asarray(e, jnp.int32))
+        save_checkpoint(str(tmp_path / "ck"), s, is_best=(e == 2), keep_last=2)
+    dirs = sorted(os.listdir(tmp_path / "ck"))
+    assert "ckpt_3" in dirs and "ckpt_4" in dirs
+    assert "ckpt_1" not in dirs and "ckpt_2" not in dirs
+    assert "best" in dirs  # the pruned best epoch survives as 'best'
+    restored = restore_checkpoint(str(tmp_path / "ck"), state, which="best")
+    assert int(restored.epoch) == 2
