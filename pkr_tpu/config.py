@@ -46,6 +46,8 @@ class TrainConfig:
     resume: bool = False
     flash_aam: bool = False  # Pallas flash classifier loss (large spk counts)
     device_cache: bool = False  # HBM-resident quantized features (host-free loop)
+    save_every_steps: int = 0  # mid-epoch preemption-safety saves (0 = off)
+    keep_last_checkpoints: int = 0  # prune old per-epoch dirs (0 = keep all)
 
 
 @dataclass(frozen=True)

@@ -262,7 +262,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))
 
     def on_epoch_end(state, epoch, metrics):
-        save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"])
+        save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"],
+                        keep_last=cfg.train.keep_last_checkpoints)
 
     train_and_validate(model, state, train_loader, cv_loader,
                        epochs=cfg.train.epochs, lr0=cfg.train.lr,
@@ -270,7 +271,12 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        weight_decay=cfg.train.weight_decay, mesh=mesh,
                        start_epoch=start_epoch, print_freq=cfg.train.print_freq,
                        on_epoch_end=on_epoch_end, logger=logger,
-                       flash_aam=cfg.train.flash_aam)
+                       flash_aam=cfg.train.flash_aam,
+                       save_every_steps=cfg.train.save_every_steps,
+                       on_step_save=(lambda st: save_checkpoint(
+                           ckpt_dir, st, keep_last=max(
+                               cfg.train.keep_last_checkpoints, 2)))
+                       if cfg.train.save_every_steps else None)
 
 
 def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> None:
