@@ -202,6 +202,7 @@ class EvalLoader:
     def __init__(self, source: FeatureSource, batch_size: int = 8,
                  quantum: int = 100, max_len: Optional[int] = 2000,
                  chunk_size: int = -1, long_mode: str = "truncate",
+                 seed: int = 0,
                  process_index: int = 0, process_count: int = 1):
         self.source = source
         self.batch_size = batch_size
@@ -209,12 +210,17 @@ class EvalLoader:
         self.max_len = max_len
         self.chunk_size = chunk_size
         self.long_mode = long_mode
+        self.rng = np.random.default_rng(seed)
         self.my_ids = list(range(process_index, len(source), process_count))
 
     def _segments(self, i: int):
         mat = self.source.read(i)
         if self.chunk_size > 0:
-            mat = mat[: self.chunk_size]
+            # random contiguous crop, like the reference EmbeddingDataset
+            # with chunk_size > 0 (datasets.py:185-187)
+            if len(mat) > self.chunk_size:
+                pin = int(self.rng.integers(0, len(mat) - self.chunk_size + 1))
+                mat = mat[pin:pin + self.chunk_size]
         utt = self.source.utts[i]
         if (self.max_len is None or len(mat) <= self.max_len
                 or self.long_mode == "truncate"):

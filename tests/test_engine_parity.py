@@ -158,3 +158,59 @@ def test_softmax_head_steps_match_torch():
     np.testing.assert_allclose(
         np.asarray(state.params["bn1"]["scale"]),
         tm.bn1.weight.detach().numpy(), rtol=1e-3, atol=1e-5)
+
+
+class TorchAAMv1Trainer(torch.nn.Module):
+    """AAM-v1: BN1d + ReLU before the margin head (model.py:366-369)."""
+
+    def __init__(self, base_model, n_spk, m=0.2, s=30.0):
+        super().__init__()
+        self.base = base_model
+        self.bn1 = torch.nn.BatchNorm1d(256)
+        self.w = torch.nn.Parameter(torch.randn(n_spk, 256))
+        self.m, self.s = m, s
+
+    def forward(self, x, labels):
+        emb = torch.relu(self.bn1(self.base(x)))
+        cos = F.linear(F.normalize(emb), F.normalize(self.w))
+        sin = torch.sqrt((1.0 - cos.pow(2)).clamp(1e-12, 1))
+        phi = cos * math.cos(self.m) - sin * math.sin(self.m)
+        th, mm = math.cos(math.pi - self.m), math.sin(math.pi - self.m) * self.m
+        phi = torch.where(cos - th > 0, phi, cos - mm)
+        one_hot = torch.zeros_like(cos)
+        one_hot.scatter_(1, labels.view(-1, 1), 1)
+        return F.cross_entropy(((one_hot * phi) + (1.0 - one_hot) * cos) * self.s,
+                               labels)
+
+
+def test_aam_v1_head_steps_match_torch():
+    torch.manual_seed(2)
+    n_spk, B, F_dim, T = 5, 8, 8, 16
+    tm = TorchAAMv1Trainer(TSpeakerModel([1, 1, 1, 1], feat_dim=F_dim, base=8),
+                           n_spk).train()
+    fm = SpeakerModel(spk_num=n_spk, feat_dim=F_dim, trunk="tiny_resnet",
+                      pooling="mean+std", loss="AAM-v1", dtype=jnp.float32)
+    variables = fm.init(jax.random.key(0), jnp.zeros((1, F_dim, T)),
+                        jnp.zeros((1,), jnp.int32), train=True)
+    sd = {k.replace("base.", ""): v for k, v in tm.state_dict().items()}
+    sd.pop("w", None)
+    sd["last.weight"] = tm.w.detach()
+    variables = import_torch_checkpoint(sd, variables, verbose=False)
+    state = create_train_state(fm, jax.random.key(0),
+                               jnp.zeros((2, F_dim, T)), jnp.zeros((2,), jnp.int32))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    _, jstep = make_train_step(fm)
+    opt = torch.optim.SGD(tm.parameters(), lr=0.05, momentum=0.9,
+                          weight_decay=5e-4)
+    rng = np.random.default_rng(27)
+    for _ in range(4):
+        x = rng.standard_normal((B, F_dim, T)).astype(np.float32)
+        y = rng.integers(0, n_spk, B)
+        opt.zero_grad()
+        loss_t = tm(torch.from_numpy(x), torch.from_numpy(y))
+        loss_t.backward()
+        opt.step()
+        state, metrics = jstep(state, jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(0.05, jnp.float32))
+        assert abs(float(metrics["loss"]) - float(loss_t)) < 3e-4
