@@ -258,3 +258,51 @@ def test_recipe_device_cache_training(tmp_path, tiny_cfg):
         tiny_cfg.train, epochs=1, batch_size=8, device_cache=True))
     recipe.run_train(cfg, feat_dir, exp_dir)
     assert os.path.exists(os.path.join(exp_dir, "checkpoints", "latest"))
+
+
+def test_cli_softmax_plda_preset_flow(tmp_path):
+    """The run.sh analog through the CLI: softmax training + plda backend
+    (preset knobs overridden to tiny scales via a derived config)."""
+    import dataclasses
+
+    from pkr_tpu.config import DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from pkr_tpu.recipes.presets import PRESETS
+
+    data_dir = str(tmp_path / "data")
+    test_dir = str(tmp_path / "data_test")
+    synth_corpus(data_dir, n_spk=4, n_utt=6, seconds=1.0)
+    synth_corpus(test_dir, n_spk=4, n_utt=2, seconds=1.0, seed=3)
+    tdd = DataDir.load(test_dir, names=("utt2spk",))
+    with open(tmp_path / "trials", "w") as f:
+        utts = sorted(tdd["utt2spk"])
+        for u in utts:
+            for v in utts:
+                if u < v:
+                    t = "target" if tdd["utt2spk"][u] == tdd["utt2spk"][v] else "nontarget"
+                    f.write(f"{u} {v} {t}\n")
+    base = PRESETS["softmax_plda"]()
+    assert base.model.loss == "softmax" and base.eval.backend == "plda"
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, trunk="tiny_resnet"),
+        train=dataclasses.replace(base.train, epochs=2, batch_size=8,
+                                  chunk_size=(50,), print_freq=1000),
+        eval=dataclasses.replace(base.eval, lda_dim=16, bucket_quantum=50,
+                                 max_len=150, batch_size=4),
+        data=DataConfig(min_frames=50, cv_fraction=0.25))
+    (tmp_path / "cfg.json").write_text(cfg.to_json())
+    from pkr_tpu.recipes.run import main
+    rc = main(["--config", str(tmp_path / "cfg.json"), "--stage", "0",
+               "--stop-stage", "6", "--data-dir", data_dir,
+               "--test-data-dir", test_dir, "--trials", str(tmp_path / "trials"),
+               "--exp-dir", str(tmp_path / "exp")])
+    assert rc == 0
+    import json as _json
+
+    res = _json.load(open(tmp_path / "exp" / "results.json"))
+    # smoke-level: a 2-epoch tiny model with 4-speaker LDA/PLDA has no
+    # meaningful accuracy — the assertion is that the full run.sh-analog
+    # flow (stages 0-6, plda backend) completes with valid outputs
+    assert 0.0 <= res["eer"] <= 1.0 and np.isfinite(res["eer"])
+    assert os.path.exists(tmp_path / "exp" / "mean.vec")  # stage 5 artifacts
+    assert os.path.exists(tmp_path / "exp" / "scores.txt")
