@@ -73,8 +73,11 @@ def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref,
     phi = jnp.where(cos - th > 0, phi, cos - mm)
 
     col = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1) + j * tile
-    is_tgt = col == labels_ref[:]  # labels (B, 1) broadcasts
     valid = col < n_classes
+    # '& valid' matters in the class-sharded regime: shard-local labels can
+    # point past this shard's real classes into tile padding; without the
+    # mask zy would pick up a -inf from a padded column.
+    is_tgt = (col == labels_ref[:]) & valid  # labels (B, 1) broadcasts
     z = jnp.where(is_tgt, phi, cos) * s
     z = jnp.where(valid, z, _NEG_INF)
 
@@ -164,8 +167,8 @@ def _bwd_kernel(labels_ref, e_ref, w_ref, lse_ref, g_ref,
     phi = jnp.where(in_phi, phi, cos - mm)
 
     col = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1) + j * tile
-    is_tgt = col == labels_ref[:]
     valid = col < n_classes
+    is_tgt = (col == labels_ref[:]) & valid
     z = jnp.where(is_tgt, phi, cos) * s
     p = jnp.where(valid, jnp.exp(z - lse_ref[:, 0:1]), 0.0)
 
@@ -271,25 +274,126 @@ def reference_aam_loss(emb, weight, labels, m=0.2, s=30.0):
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
+def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
+                           s: float = 30.0, tile: int = DEFAULT_TILE,
+                           interpret: bool = False,
+                           weight_sharded: bool = None):
+    """Mesh-composed flash loss: loss_fn(emb, weight, labels) -> scalar.
+
+    A pallas_call is a single-device program — under pjit with a sharded
+    batch XLA cannot partition the custom call (it would replicate or fail),
+    so the multi-chip path wraps the kernels in an explicit shard_map.  Two
+    regimes, selected by ``weight_sharded``:
+
+    - **replicated weight** (default when the mesh has no 'model' axis > 1 or
+      n_classes doesn't divide it): each data shard runs the full-class
+      kernel; dW is psum'd over 'data' on the transpose.  This is the
+      reference's DDP layout (model.py:470 keeps the whole classifier on
+      every rank).
+    - **class-sharded weight** (the TP scaling path, SURVEY §2.9): weight
+      rows live P('model', None) — each device holds n_classes/n_model rows,
+      matching parallel.param_sharding_rules.  Every device runs the flash
+      kernel over ITS class shard with shard-local labels; the online
+      softmax's (max, sum-exp) merge across shards is two tiny collectives
+      over 'model' (pmax + psum of (B,) vectors), then dE is psum'd over
+      'model' and dW over 'data'.  The (B, n_classes) logits never exist
+      anywhere, and no device ever holds the full class weight.
+
+    Expects emb/labels sharded over 'data' (batch divisible by the axis) and
+    weight laid out per the regime.  Gradients flow to emb and weight via a
+    custom VJP that recomputes cosine tiles (flash-style) in the backward.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        try:  # jax >= 0.8: jax.shard_map, replication check renamed
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except (AttributeError, TypeError):  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as sm
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_rep=False)
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_model = axis_sizes.get("model", 1)
+    if weight_sharded is None:
+        weight_sharded = n_model > 1 and n_classes % n_model == 0
+    if weight_sharded:
+        assert n_classes % n_model == 0, (
+            f"class-sharded flash head needs n_classes % n_model == 0, got "
+            f"{n_classes} % {n_model}")
+    c_local = n_classes // n_model if weight_sharded else n_classes
+    w_spec = P("model", None) if weight_sharded else P(None, None)
+    n_data = axis_sizes.get("data", 1)
+
+    def _local_labels(y):
+        if weight_sharded:
+            return (y.astype(jnp.int32)
+                    - jax.lax.axis_index("model") * c_local)
+        return y.astype(jnp.int32)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", None), w_spec, P("data")),
+        out_specs=(P(), (P("data", None), P("data", None), P("data"))))
+    def _sm_fwd(e, w, y):
+        e_hat, e_norm = _normalize(e.astype(jnp.float32))
+        lse, zy = _fwd_pallas(e_hat, w.astype(jnp.float32), _local_labels(y),
+                              m, s, tile, interpret)
+        if weight_sharded:
+            # merge the per-shard online softmax states: lse_i = max_i+log s_i
+            # → global lse = logsumexp_i(lse_i); the target term lives in
+            # exactly one shard (zy elsewhere is 0).
+            mx = jax.lax.pmax(lse, "model")
+            lse = mx + jnp.log(jax.lax.psum(jnp.exp(lse - mx), "model"))
+            zy = jax.lax.psum(zy, "model")
+        loss = jax.lax.pmean(jnp.mean(lse - zy), "data")
+        if not weight_sharded and n_model > 1:
+            loss = jax.lax.pmean(loss, "model")  # identical per shard
+        return loss, (e_hat, e_norm, lse)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), w_spec, P("data"),
+                  P("data"), P()),  # e_norm stays (B, 1)
+        out_specs=(P("data", None), w_spec))
+    def _sm_bwd(e_hat, e_norm, w, y, lse, gloss):
+        b_local = e_hat.shape[0]
+        g = jnp.full((b_local,), gloss / (b_local * n_data), jnp.float32)
+        de_hat, dw = _bwd_pallas(e_hat, w.astype(jnp.float32),
+                                 _local_labels(y), lse, g, m, s, tile,
+                                 interpret)
+        if weight_sharded:
+            de_hat = jax.lax.psum(de_hat, "model")  # partial over class shards
+        dw = jax.lax.psum(dw, "data")  # accumulate over batch shards
+        proj = jnp.sum(de_hat * e_hat, axis=1, keepdims=True)
+        de = (de_hat - proj * e_hat) / e_norm
+        return de, dw
+
+    @jax.custom_vjp
+    def loss_fn(emb, weight, labels):
+        return _fwd_rule(emb, weight, labels)[0]
+
+    def _fwd_rule(emb, weight, labels):
+        loss, (e_hat, e_norm, lse) = _sm_fwd(emb, weight, labels)
+        return loss, (e_hat, e_norm, weight, labels, lse)
+
+    def _bwd_rule(res, gloss):
+        e_hat, e_norm, weight, labels, lse = res
+        de, dw = _sm_bwd(e_hat, e_norm, weight, labels, lse,
+                         jnp.asarray(gloss, jnp.float32))
+        return de.astype(jnp.float32), dw.astype(weight.dtype), None
+
+    loss_fn.defvjp(_fwd_rule, _bwd_rule)
+    return loss_fn
+
+
 def flash_aam_loss_sharded(emb, weight, labels, mesh, m: float = 0.2,
                            s: float = 30.0, tile: int = DEFAULT_TILE,
                            interpret: bool = False):
-    """Data-parallel flash loss under an explicit shard_map.
-
-    A pallas_call is a single-device program — under pjit with a sharded
-    batch XLA cannot partition the custom call, so the multi-chip path wraps
-    the kernel per-device: each data shard computes its local mean loss over
-    the (replicated) class weight and the global loss is the pmean.  Batch
-    must divide the mesh's 'data' axis.
-    """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P("data", None), P(None, None), P("data")),
-                       out_specs=P(), check_rep=False)
-    def local(e, w, y):
-        loss = flash_aam_loss(e, w, y, m, s, tile, interpret)
-        return jax.lax.pmean(loss, "data")
-
-    return local(emb, weight, labels)
+    """Data-parallel (replicated-weight) flash loss over a mesh; see
+    make_flash_aam_sharded for the regimes.  Kept as the simple functional
+    entry point; delegates to the factory."""
+    fn = make_flash_aam_sharded(mesh, weight.shape[0], m, s, tile, interpret,
+                                weight_sharded=False)
+    return fn(emb, weight, labels)

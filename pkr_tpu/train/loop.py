@@ -42,15 +42,29 @@ def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarra
 def make_train_step(model, tx=None, lr_schedule=None,
                     momentum: float = 0.9, weight_decay: float = 5e-4,
                     flash_aam: bool = False,
-                    flash_interpret: Optional[bool] = None):
+                    flash_interpret: Optional[bool] = None,
+                    mesh=None):
     """flash_aam=True (loss='AAM' models only) routes the head through the
     Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
     never materialize — the scaling path for very large speaker counts.
     Train-time top-k metrics are unavailable in that mode (reported as -1);
-    validation still uses the dense head."""
+    validation still uses the dense head.
+
+    mesh (with flash_aam) composes the Pallas loss with the device mesh via
+    shard_map — class weight sharded over 'model' when spk_num divides that
+    axis (matching parallel.param_sharding_rules), replicated otherwise.
+    Without it a pallas_call inside pjit cannot be partitioned over a
+    sharded batch."""
     tx = tx or make_optimizer(momentum, weight_decay)
     if flash_interpret is None:  # Pallas compiles only on TPU; interpret on CPU
         flash_interpret = jax.default_backend() != "tpu"
+    flash_loss_fn = None
+    if flash_aam and mesh is not None:
+        from pkr_tpu.ops.flash_aam import make_flash_aam_sharded
+
+        flash_loss_fn = make_flash_aam_sharded(
+            mesh, model.spk_num, model.m, model.s,
+            interpret=flash_interpret)
 
     @jax.jit
     def train_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray,
@@ -64,8 +78,12 @@ def make_train_step(model, tx=None, lr_schedule=None,
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, None, True, mutable=["batch_stats"],
                     method=SpeakerModel.embed)
-                loss = flash_aam_loss(emb, params["aam_weight"], labels,
-                                      model.m, model.s, 2048, flash_interpret)
+                if flash_loss_fn is not None:  # mesh-composed shard_map path
+                    loss = flash_loss_fn(emb, params["aam_weight"], labels)
+                else:
+                    loss = flash_aam_loss(emb, params["aam_weight"], labels,
+                                          model.m, model.s, 2048,
+                                          flash_interpret)
                 return loss, (None, updates["batch_stats"])
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -76,9 +94,11 @@ def make_train_step(model, tx=None, lr_schedule=None,
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # NaN guard (failure detection the reference lacked, SURVEY §5): a
-        # non-finite loss skips the whole update — params, momentum and all —
-        # instead of poisoning the run
+        # non-finite loss skips the whole update — params, momentum and the
+        # BatchNorm running stats — instead of poisoning the run
         ok = jnp.isfinite(loss)
+        new_bs = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              new_bs, state.batch_stats)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
@@ -136,7 +156,7 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
     log = logger or ProgressLogger()
     tx, train_step = make_train_step(model, None, momentum=momentum,
                                      weight_decay=weight_decay,
-                                     flash_aam=flash_aam)
+                                     flash_aam=flash_aam, mesh=mesh)
     eval_step = make_eval_step(model)
     schedule = cosine_epoch_lr(lr0, epochs, lr_final)
     batch_shard = None

