@@ -91,17 +91,41 @@ def speed_perturb(signal: np.ndarray, factor: float) -> np.ndarray:
     return signal[i0] * (1 - frac) + signal[i1] * frac
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def tile_pool(mats: jnp.ndarray, lens: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Circularly extend each pool row to L+n samples so ANY circular window
+    [start, start+n) with start < row_len becomes one contiguous
+    dynamic_slice.  General gathers are catastrophic on TPU — this pays one
+    gather per (pool, n) shape instead of one per batch row per step."""
+    idx = jnp.arange(mats.shape[1] + n)
+
+    def row(m, l):
+        return m[idx % jnp.maximum(l, 1)]
+
+    return jax.vmap(row)(mats, lens)
+
+
 class WavAugmenter:
     """Random augmentation policy over a batch, reference SNR grids.
 
     Draws one of {none, noise, music, babble, reverb} per utterance
     (augment_data_dir.py composes a 2x corpus: clean + one augmentation each;
-    run.sh:162-164) and applies it on device.
+    run.sh:162-164) and applies it on device in ONE dispatch per (B, N)
+    bucket: a vmapped ``lax.switch`` over rows.  The reference fans
+    per-utterance wav-reverberate pipes over nj=30 CPU jobs
+    (steps/data/augment_data_dir.py:71-118 + local/make_fbank.sh:118-126);
+    here the pools live in device HBM (uploaded once) and the host only
+    ships tiny per-row plan vectors (kind, source index, SNR, start).
+
+    Babble semantics match wav-reverberate: each of the 3-7 speech sources
+    is mixed at its own grid SNR measured against the CLEAN signal — no
+    aggregate-SNR compensation.
     """
 
     SNR = {"noise": (15.0, 10.0, 5.0, 0.0),
            "music": (15.0, 10.0, 8.0, 5.0),
            "babble": (20.0, 17.0, 15.0, 13.0)}
+    MAX_BABBLE = 7
 
     def __init__(self, noise: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  music: Optional[Tuple[np.ndarray, np.ndarray]] = None,
@@ -110,14 +134,20 @@ class WavAugmenter:
                  seed: int = 0):
         """Each pool is (padded matrix (K, L), lengths (K,))."""
         self.pools = {}
-        if noise is not None:
-            self.pools["noise"] = noise
-        if music is not None:
-            self.pools["music"] = music
-        if speech is not None:
-            self.pools["babble"] = speech
-        self.rirs = rirs
+        self._host_lens = {}
+        for name, p in (("noise", noise), ("music", music),
+                        ("babble", speech)):
+            if p is not None:
+                self.pools[name] = (jnp.asarray(p[0], jnp.float32),
+                                    jnp.asarray(p[1], jnp.int32))
+                self._host_lens[name] = np.asarray(p[1], np.int64)
+        self.rirs = None
+        if rirs is not None:
+            self.rirs = (jnp.asarray(rirs[0], jnp.float32),
+                         jnp.asarray(rirs[1], jnp.int32))
         self.rng = np.random.default_rng(seed)
+        self._tiled = {}   # (kind, n) -> tiled pool matrix
+        self._fns = {}     # n -> jitted vmapped row dispatcher
 
     def kinds(self):
         out = list(self.pools)
@@ -125,40 +155,111 @@ class WavAugmenter:
             out.append("reverb")
         return out
 
-    def __call__(self, wavs: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-        """Augment a (B, N) batch in place-ish; one random kind per row."""
-        kinds = self.kinds()
-        if not kinds:
-            return wavs
-        out = jnp.asarray(wavs)
-        lengths = jnp.asarray(lengths)
-        choice = self.rng.integers(0, len(kinds) + 1, size=len(wavs))  # +1 → clean
-        for b in range(len(wavs)):
-            if choice[b] == len(kinds):
+    def _tiled_pool(self, kind: str, n: int) -> jnp.ndarray:
+        key = (kind, n)
+        if key not in self._tiled:
+            if len(self._tiled) >= 8:  # bound HBM across bucket shapes
+                self._tiled.clear()
+            mats, lens = self.pools[kind]
+            self._tiled[key] = tile_pool(mats, lens, n)
+        return self._tiled[key]
+
+    def _build_fn(self, n: int, names):
+        """Jitted (B, n) batch augmenter; branch order = [clean] + names."""
+        S = self.MAX_BABBLE
+        tiled = {k: self._tiled_pool(k, n) for k in names if k != "reverb"}
+        lens = {k: self.pools[k][1] for k in names if k != "reverb"}
+        rirs = self.rirs
+
+        def row_fn(sig, length, code, src, starts, snrs, n_src):
+            mask = (jnp.arange(n) < length).astype(sig.dtype)
+            e_sig = jnp.maximum(_energy(sig, length), 1e-10)
+
+            def scaled(kind, i):
+                t = jax.lax.dynamic_slice(
+                    tiled[kind], (src[i], starts[i]), (1, n))[0]
+                e_n = jnp.maximum(_energy(t, length), 1e-10)
+                return jnp.sqrt(e_sig / (e_n * 10.0 ** (snrs[i] / 10.0))) * t
+
+            def additive(kind):
+                return lambda: sig + scaled(kind, 0) * mask
+
+            def babble():
+                def body(i, acc):
+                    on = jnp.where(i < n_src, 1.0, 0.0)
+                    return acc + on * scaled("babble", i)
+
+                acc = jax.lax.fori_loop(0, S, body, jnp.zeros_like(sig))
+                return sig + acc * mask
+
+            def reverb():
+                mats, rlens = rirs
+                return reverberate(sig, length, mats[src[0]], rlens[src[0]])
+
+            branches = [lambda: sig]
+            for name in names:
+                branches.append({"babble": babble, "reverb": reverb}.get(
+                    name, additive(name)))
+            return jax.lax.switch(code, branches)
+
+        return jax.jit(jax.vmap(row_fn))
+
+    def _draw_plan(self, codes: np.ndarray, names):
+        """Host-side plan vectors for one batch: (src, starts, snrs, n_src)."""
+        B = len(codes)
+        S = self.MAX_BABBLE
+        src = np.zeros((B, S), np.int32)
+        starts = np.zeros((B, S), np.int32)
+        snrs = np.zeros((B, S), np.float32)
+        n_src = np.ones(B, np.int32)
+        for ci, name in enumerate(names):
+            rows = np.where(codes == ci + 1)[0]
+            if rows.size == 0:
                 continue
-            kind = kinds[choice[b]]
-            if kind == "reverb":
-                mats, lens = self.rirs
-                k = self.rng.integers(0, len(mats))
-                row = reverberate(out[b], lengths[b],
-                                  jnp.asarray(mats[k]), jnp.asarray(lens[k]))
-            elif kind == "babble":
-                mats, lens = self.pools["babble"]
-                row = out[b]
-                n_src = self.rng.integers(3, 8)
-                snr = self.rng.choice(self.SNR["babble"])
-                for _ in range(n_src):
-                    k = self.rng.integers(0, len(mats))
-                    row = add_noise_snr(row, lengths[b], jnp.asarray(mats[k]),
-                                        jnp.asarray(lens[k]),
-                                        jnp.asarray(snr + 3.0 * np.log(n_src)),
-                                        jnp.asarray(self.rng.integers(0, max(lens[k], 1))))
-            else:
-                mats, lens = self.pools[kind]
-                k = self.rng.integers(0, len(mats))
-                snr = self.rng.choice(self.SNR[kind])
-                row = add_noise_snr(out[b], lengths[b], jnp.asarray(mats[k]),
-                                    jnp.asarray(lens[k]), jnp.asarray(snr),
-                                    jnp.asarray(self.rng.integers(0, max(lens[k], 1))))
-            out = out.at[b].set(row)
-        return np.asarray(out)
+            if name == "reverb":
+                src[rows, 0] = self.rng.integers(0, len(self.rirs[1]),
+                                                 rows.size)
+                continue
+            lens = self._host_lens[name]
+            cols = S if name == "babble" else 1
+            if name == "babble":
+                n_src[rows] = self.rng.integers(3, 8, rows.size)
+            k = self.rng.integers(0, len(lens), (rows.size, cols)).astype(np.int32)
+            src[rows, :cols] = k
+            starts[rows, :cols] = self.rng.integers(
+                0, np.maximum(lens[k], 1)).astype(np.int32)
+            snrs[rows, :cols] = self.rng.choice(self.SNR[name],
+                                                (rows.size, cols))
+        return src, starts, snrs, n_src
+
+    def __call__(self, wavs: np.ndarray, lengths: np.ndarray,
+                 kinds=None, device_out: bool = False) -> np.ndarray:
+        """Augment a (B, N) batch; one kind per row.
+
+        kinds: optional per-row kind names ('none' = keep clean), e.g. from a
+        utt2aug table; drawn uniformly over {clean} + available kinds when
+        absent.  Unavailable kinds (no pool loaded) pass through clean.
+        device_out=True returns the device array without a host round trip —
+        use it when the result feeds another device computation (the
+        frontend), which matters on hosts with slow transfer links."""
+        names = self.kinds()
+        if not names:
+            return jnp.asarray(wavs) if device_out else np.asarray(wavs)
+        B, n = wavs.shape
+        if kinds is None:
+            draw = self.rng.integers(0, len(names) + 1, size=B)
+            codes = np.where(draw == len(names), 0, draw + 1).astype(np.int32)
+        else:
+            code_of = {k: i + 1 for i, k in enumerate(names)}
+            codes = np.asarray([code_of.get(k, 0) for k in kinds], np.int32)
+        if not codes.any():
+            return jnp.asarray(wavs) if device_out else np.asarray(wavs)
+        src, starts, snrs, n_src = self._draw_plan(codes, names)
+        if n not in self._fns:
+            self._fns[n] = self._build_fn(n, names)
+        out = self._fns[n](jnp.asarray(wavs, jnp.float32),
+                           jnp.asarray(lengths, jnp.int32),
+                           jnp.asarray(codes), jnp.asarray(src),
+                           jnp.asarray(starts), jnp.asarray(snrs),
+                           jnp.asarray(n_src))
+        return out if device_out else np.asarray(out)

@@ -130,47 +130,23 @@ class AugmentPools:
            "music": (15.0, 10.0, 8.0, 5.0),
            "babble": (20.0, 17.0, 15.0, 13.0)}
 
+    @property
+    def augmenter(self):
+        """The batched device-side policy (one dispatch per bucket); pools
+        are uploaded to HBM on first use and reused."""
+        if getattr(self, "_augmenter", None) is None:
+            from pkr_tpu.data.augment import WavAugmenter
+
+            self._augmenter = WavAugmenter(
+                noise=self.pools.get("noise"), music=self.pools.get("music"),
+                speech=self.pools.get("babble"), rirs=self.rirs,
+                seed=int(self.rng.integers(2 ** 31)))
+        return self._augmenter
+
     def apply(self, wav: np.ndarray, length: int, kind: str) -> np.ndarray:
-        """Apply one augmentation kind to one (device-bound) waveform."""
-        import jax.numpy as jnp
-
-        from pkr_tpu.data.augment import add_noise_snr, reverberate
-
+        """Apply one augmentation kind to one waveform (B=1 batched path)."""
         if kind in ("none", ""):
             return wav
-        if kind == "reverb":
-            if self.rirs is None:
-                return wav
-            mats, lens = self.rirs
-            k = int(self.rng.integers(0, len(mats)))
-            return np.asarray(reverberate(jnp.asarray(wav), jnp.asarray(length),
-                                          jnp.asarray(mats[k]), jnp.asarray(int(lens[k]))))
-        if kind == "babble":
-            pool = self.pools.get("babble")
-            if pool is None:
-                return wav
-            mats, lens = pool
-            out = jnp.asarray(wav)
-            n_src = int(self.rng.integers(3, 8))
-            snr = float(self.rng.choice(self.SNR["babble"]))
-            for _ in range(n_src):
-                k = int(self.rng.integers(0, len(mats)))
-                out = add_noise_snr(out, jnp.asarray(length), jnp.asarray(mats[k]),
-                                    jnp.asarray(int(lens[k])),
-                                    jnp.asarray(snr + 3.0 * np.log(n_src)),
-                                    jnp.asarray(int(self.rng.integers(0, max(int(lens[k]), 1)))))
-            return np.asarray(out)
-        pool = self.pools.get(kind)
-        if pool is None:
-            return wav
-        mats, lens = pool
-        k = int(self.rng.integers(0, len(mats)))
-        snr = float(self.rng.choice(self.SNR[kind]))
-        import jax.numpy as jnp  # noqa: F811
-
-        from pkr_tpu.data.augment import add_noise_snr  # noqa: F811
-
-        return np.asarray(add_noise_snr(
-            jnp.asarray(wav), jnp.asarray(length), jnp.asarray(mats[k]),
-            jnp.asarray(int(lens[k])), jnp.asarray(snr),
-            jnp.asarray(int(self.rng.integers(0, max(int(lens[k]), 1))))))
+        out = self.augmenter(np.asarray(wav, np.float32)[None, :],
+                             np.asarray([length]), kinds=[kind])
+        return out[0]

@@ -96,6 +96,15 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             for b, (utt, w) in enumerate(items):
                 wavs[b, : len(w)] = w
                 lens[b] = len(w)
+            if pools is not None and utt2aug:
+                # batched on-device mixing: ONE dispatch per bucket (the
+                # reference runs a wav-reverberate pipe per utterance)
+                kinds = [utt2aug.get(utt, "none") for utt, _ in items]
+                if any(k != "none" for k in kinds):
+                    # device_out: the augmented batch feeds the frontend
+                    # directly, no host round trip over the transfer link
+                    wavs = pools.augmenter(wavs, lens, kinds=kinds,
+                                           device_out=True)
             key, sub = jax.random.split(key)
             feats, mask, vad = wav_to_train_feats(
                 jnp.asarray(wavs), jnp.asarray(lens), sub, cfg_for(warp),
@@ -129,9 +138,6 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             decoded = map(decode, entries)
 
         for utt, wav in decoded:
-            kind = utt2aug.get(utt, "none") if utt2aug else "none"
-            if pools is not None and kind != "none":
-                wav = pools.apply(wav.astype(np.float32), len(wav), kind)
             L = int(np.ceil(max(len(wav), quantum) / quantum) * quantum)
             warp = float(utt2warp.get(utt, "1.0")) if utt2warp else 1.0
             bkey = (L, warp)

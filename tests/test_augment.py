@@ -84,3 +84,96 @@ def test_wav_augmenter_policy():
     assert np.isfinite(out).all()
     # padded tails stay silent for augmented rows
     assert np.abs(out[3, 1000:]).max() <= np.abs(wavs[3, 1000:]).max() + 1e-5
+
+
+def test_tile_pool_circular_windows():
+    from pkr_tpu.data.augment import tile_pool
+
+    mats = np.zeros((2, 10), np.float32)
+    mats[0, :7] = np.arange(7)
+    mats[1, :4] = np.arange(4) + 100
+    lens = np.array([7, 4])
+    tiled = np.asarray(tile_pool(jnp.asarray(mats), jnp.asarray(lens), 12))
+    assert tiled.shape == (2, 22)
+    # any window [start, start+n) with start < len equals the circular read
+    for k, l in ((0, 7), (1, 4)):
+        for start in range(l):
+            want = mats[k][(start + np.arange(12)) % l]
+            np.testing.assert_array_equal(tiled[k, start:start + 12], want)
+
+
+def test_batched_additive_exact_snr():
+    """The batched path hits the exact configured SNR per row (vs clean)."""
+    rng = np.random.default_rng(4)
+    n = 8000
+    wavs = (1000 * np.sin(2 * np.pi * np.array([[220.0], [317.0]])
+                          * np.arange(n) / 16000)).astype(np.float32)
+    lengths = np.array([n, 6000])
+    wavs[1, 6000:] = 0.0  # padded region is silent, as the loaders produce
+    noise = (rng.standard_normal((3, 4000)).astype(np.float32) * 50,
+             np.array([4000, 3000, 2000]))
+    aug = WavAugmenter(noise=noise, seed=0)
+    out = aug(wavs.copy(), lengths, kinds=["noise", "noise"])
+    for b in range(2):
+        ln = lengths[b]
+        added = out[b, :ln] - wavs[b, :ln]
+        got = 10 * np.log10((wavs[b, :ln] ** 2).sum() / (added ** 2).sum())
+        assert min(abs(got - s) for s in WavAugmenter.SNR["noise"]) < 0.05, got
+        if ln < n:  # padded tail stays silent
+            assert np.abs(out[b, ln:]).max() < 1e-5
+
+
+def test_batched_babble_per_source_vs_clean():
+    """Each babble source is mixed at a grid SNR against the CLEAN signal
+    (reference wav-reverberate semantics; no aggregate compensation)."""
+    rng = np.random.default_rng(5)
+    n = 6000
+    sig = (500 * np.sin(2 * np.pi * 180 * np.arange(n) / 16000)).astype(np.float32)
+    speech = (rng.standard_normal((5, 3000)).astype(np.float32) * 80,
+              np.array([3000, 2500, 2000, 3000, 1500]))
+    aug = WavAugmenter(speech=speech, seed=1)
+    out = aug(sig[None, :].copy(), np.array([n]), kinds=["babble"])[0]
+    added = out - sig
+    # aggregate SNR must sit in [min_grid - 10*log10(7), max_grid] — each of
+    # the 3..7 sources contributes at an exact grid SNR vs the clean signal
+    agg = 10 * np.log10((sig ** 2).sum() / (added ** 2).sum())
+    assert WavAugmenter.SNR["babble"][-1] - 10 * np.log10(7) - 0.2 < agg
+    assert agg < WavAugmenter.SNR["babble"][0] + 0.2
+
+
+def test_batched_matches_single_row_ops():
+    """kinds= dispatch: a 'noise' row reproduces add_noise_snr exactly given
+    the same drawn plan (seeded), a 'none' row passes through untouched."""
+    rng = np.random.default_rng(6)
+    n = 4000
+    wavs = (rng.standard_normal((3, n)) * 200).astype(np.float32)
+    lengths = np.array([n, n, 3000])
+    noise = (rng.standard_normal((2, 2000)).astype(np.float32) * 60,
+             np.array([2000, 1500]))
+    aug = WavAugmenter(noise=noise, seed=2)
+    out = aug(wavs.copy(), lengths, kinds=["none", "noise", "none"])
+    np.testing.assert_array_equal(out[0], wavs[0])
+    np.testing.assert_array_equal(out[2], wavs[2])
+    assert not np.allclose(out[1], wavs[1])
+
+
+def test_batched_reverb_row():
+    rng = np.random.default_rng(7)
+    n = 2000
+    sig = (rng.standard_normal(n) * 100).astype(np.float32)
+    rir = np.zeros((1, 64), np.float32)
+    rir[0, 9] = 1.0
+    aug = WavAugmenter(rirs=(rir, np.array([64])), seed=3)
+    out = aug(sig[None, :].copy(), np.array([n]), kinds=["reverb"])[0]
+    np.testing.assert_allclose(out, sig, rtol=1e-4, atol=1e-2)
+
+
+def test_augmenter_deterministic_across_instances():
+    rng = np.random.default_rng(8)
+    wavs = (rng.standard_normal((4, 3000)) * 100).astype(np.float32)
+    lengths = np.array([3000] * 4)
+    noise = (rng.standard_normal((2, 1000)).astype(np.float32) * 50,
+             np.array([1000, 800]))
+    a = WavAugmenter(noise=noise, seed=42)(wavs.copy(), lengths)
+    b = WavAugmenter(noise=noise, seed=42)(wavs.copy(), lengths)
+    np.testing.assert_array_equal(a, b)
