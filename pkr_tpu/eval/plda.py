@@ -96,9 +96,27 @@ class PldaModel:
     transform: np.ndarray  # (d, d): diagonalizing transform (rows)
     psi: np.ndarray  # (d,) between-class variance in transformed space
 
-    def transform_vec(self, x: np.ndarray) -> np.ndarray:
-        """Center + rotate into the diagonalized space (within-covar = I)."""
-        return (np.asarray(x, np.float64) - self.mean) @ self.transform.T
+    def transform_vec(self, x: np.ndarray,
+                      num_examples: Optional[np.ndarray] = None,
+                      simple_length_norm: bool = False) -> np.ndarray:
+        """Center + rotate into the diagonalized space (within-covar = I).
+
+        num_examples (per row) additionally applies Kaldi's
+        Plda::TransformIvector normalization: each transformed vector is
+        scaled by sqrt(dim / (x' diag(1/(psi + 1/n)) x)) — or, with
+        simple_length_norm, by sqrt(dim)/||x|| — matching
+        ivector-plda-scoring's simple-length-norm=false default."""
+        t = (np.asarray(x, np.float64) - self.mean) @ self.transform.T
+        if num_examples is None:
+            return t
+        d = t.shape[-1]
+        if simple_length_norm:
+            dot = np.maximum((t ** 2).sum(axis=-1), 1e-20)
+        else:
+            n = np.asarray(num_examples, np.float64).reshape(-1, 1)
+            inv = 1.0 / (self.psi[None, :] + 1.0 / n)
+            dot = np.maximum((inv * t ** 2).sum(axis=-1), 1e-20)
+        return t * np.sqrt(d / dot)[..., None]
 
 
 def train_plda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
@@ -166,14 +184,22 @@ def train_plda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
 def plda_scores(model: PldaModel, enroll: Dict[str, np.ndarray],
                 test: Dict[str, np.ndarray],
                 trials: Sequence[Tuple[str, str]],
-                enroll_counts: Optional[Dict[str, int]] = None) -> np.ndarray:
+                enroll_counts: Optional[Dict[str, int]] = None,
+                simple_length_norm: bool = False) -> np.ndarray:
     """Vectorized LLR scoring (ivector-plda-scoring), n-utterance enrollment
-    supported via enroll_counts (simple-length-norm=false default)."""
+    supported via enroll_counts.  Vectors get Kaldi's per-vector
+    normalization factor (Plda::TransformIvector under the
+    simple-length-norm=false default: scale by
+    sqrt(dim / (x' diag(1/(psi+1/n)) x)), n=1 for test vectors)."""
     e_keys = list(enroll)
     t_keys = list(test)
-    E = model.transform_vec(np.stack([enroll[k] for k in e_keys]))
-    Tv = model.transform_vec(np.stack([test[k] for k in t_keys]))
     n = np.asarray([float((enroll_counts or {}).get(k, 1)) for k in e_keys])
+    E = model.transform_vec(np.stack([enroll[k] for k in e_keys]),
+                            num_examples=n,
+                            simple_length_norm=simple_length_norm)
+    Tv = model.transform_vec(np.stack([test[k] for k in t_keys]),
+                             num_examples=np.ones(len(t_keys)),
+                             simple_length_norm=simple_length_norm)
 
     psi = model.psi[None, :]  # (1, d)
     nn = n[:, None]

@@ -51,6 +51,9 @@ def test_lda_improves_separation():
 
 def test_plda_recovers_structure_and_beats_cosine():
     vecs, utt2spk, _ = synth_speakers(n_spk=25, n_utt=12, d=12, seed=1)
+    # length-normalize first, as the recipe does (run.sh:331-340:
+    # subtract-global-mean → ivector-normalize-length → PLDA)
+    vecs = {k: length_normalize(v[None])[0] for k, v in vecs.items()}
     # split: 10 utts train, 1 enroll, 1 test per speaker
     train = {k: v for k, v in vecs.items() if int(k.split("-u")[1]) < 10}
     enroll = {f"s{i}": vecs[f"s{i}-u10"] for i in range(25)}
@@ -96,3 +99,27 @@ def test_plda_multi_utterance_enrollment():
     assert np.isfinite(s1).all() and np.isfinite(s3).all()
     # 3-utterance enrollment of the true speaker scores at least as confidently
     assert s3[0] > s1[0] - 5.0
+
+
+def test_transform_vec_normalization_factor_oracle():
+    """Kaldi Plda::TransformIvector normalization (simple-length-norm=false):
+    factor = sqrt(dim / (x' diag(1/(psi + 1/n)) x)) — literal transcription of
+    plda.cc GetNormalizationFactor as the oracle."""
+    vecs, utt2spk, _ = synth_speakers(n_spk=8, n_utt=5, d=6, seed=3)
+    model = train_plda(vecs, utt2spk, n_iters=3)
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((4, 6))
+    for n in (1, 3):
+        got = model.transform_vec(X, num_examples=np.full(4, n))
+        raw = (X - model.mean) @ model.transform.T
+        for i in range(4):
+            inv_covar = 1.0 / (model.psi + 1.0 / n)
+            dot = float(inv_covar @ (raw[i] ** 2))
+            factor = np.sqrt(6.0 / dot)
+            np.testing.assert_allclose(got[i], raw[i] * factor, rtol=1e-12)
+    # simple_length_norm variant: sqrt(dim)/||x||
+    got = model.transform_vec(X, num_examples=np.ones(4),
+                              simple_length_norm=True)
+    for i in range(4):
+        factor = np.sqrt(6.0) / np.linalg.norm(raw[i])
+        np.testing.assert_allclose(got[i], raw[i] * factor, rtol=1e-12)
