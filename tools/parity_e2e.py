@@ -1,0 +1,288 @@
+"""End-to-end quality parity: pkr_tpu engine vs the reference torch engine.
+
+Trains BOTH engines on the same synthetic corpus with identical initial
+weights (via train.checkpoint.import_torch_checkpoint), identical
+hyperparameters (SGD momentum 0.9, weight decay 5e-4, per-epoch cosine LR —
+train_resnet.py:72-118) and an identical precomputed batch schedule, then
+extracts held-out embeddings with each engine's own trained weights, scores
+the same cosine trial list, and compares EER / minDCF with bootstrap
+confidence intervals.  (VERDICT r1 next-round item 3; the published
+reference numbers this mirrors are run.sh:361-363.)
+
+The torch side uses the architecture transcription from
+tests/test_torch_import_e2e.py (reference model.py:205-269,334-457) and the
+ArcFace trainer math from tests/test_engine_parity.py (model.py:459-501) —
+the reference trainer in all but file location.
+
+Run:  python tools/parity_e2e.py  (jax on the ambient device, torch on CPU)
+Writes PARITY_E2E.md at the repo root and prints the table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+# corpus / training configuration (one place, reported in the output doc)
+N_SPK = 32
+N_UTT = 16          # per speaker; last N_EVAL held out
+N_EVAL = 4
+SECONDS = 2.0
+RATE = 16000
+CROP_T = 150        # training crop (frames)
+BATCH = 64
+EPOCHS = 12
+LR0 = 0.1
+SEED = 0
+
+
+def synth_corpus(root):
+    """Harmonic-stack speakers, closer-spaced and noisier than the smoke
+    corpus so the task is non-trivial (EER must be > 0 at this scale)."""
+    from pkr_tpu.io.datadir import DataDir
+    from pkr_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(root, exist_ok=True)
+    t = np.arange(int(SECONDS * RATE)) / RATE
+    utt2spk, wav = {}, {}
+    base = 120.0 + 9.0 * np.arange(N_SPK)  # 9 Hz spacing: confusable pairs
+    for i in range(N_SPK):
+        amps = rng.uniform(0.2, 1.0, size=6)
+        for j in range(N_UTT):
+            f0 = base[i] * rng.uniform(0.96, 1.04)
+            sig = sum(a * np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
+                      for k, a in enumerate(amps))
+            sig = 3000 * sig / np.abs(sig).max()
+            sig += 600 * rng.standard_normal(len(t))  # strong noise floor
+            utt = f"spk{i:02d}-utt{j:02d}"
+            path = os.path.join(root, f"{utt}.wav")
+            write_wav(path, sig, RATE)
+            utt2spk[utt] = f"spk{i:02d}"
+            wav[utt] = path
+    DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt().save(root)
+    return sorted(utt2spk), utt2spk
+
+
+def load_features(data_dir, feat_dir):
+    from pkr_tpu.io.kaldi_ark import read_mat_scp
+    from pkr_tpu.recipes.run import run_features
+
+    run_features(data_dir, feat_dir, batch=32, dither=0.0)
+    return {u: m for u, m in read_mat_scp(os.path.join(feat_dir, "feats.scp"))}
+
+
+def build_schedule(feats, train_utts, spk_ids, rng):
+    """Identical batches for both engines: (steps, B, 40, CROP_T) crops."""
+    steps_per_epoch = max(1, len(train_utts) // BATCH)
+    xs, ys = [], []
+    for _ in range(EPOCHS):
+        order = rng.permutation(len(train_utts))
+        for s in range(steps_per_epoch):
+            rows, labs = [], []
+            for k in order[s * BATCH:(s + 1) * BATCH]:
+                utt = train_utts[k]
+                f = feats[utt]  # (T, 40)
+                start = rng.integers(0, max(f.shape[0] - CROP_T, 1))
+                rows.append(f[start:start + CROP_T].T)  # (40, CROP_T)
+                labs.append(spk_ids[utt])
+            xs.append(np.stack(rows).astype(np.float32))
+            ys.append(np.asarray(labs, np.int64))
+    return np.stack(xs), np.stack(ys), steps_per_epoch
+
+
+def train_torch(xs, ys, schedule_lr, n_spk):
+    import torch
+
+    from test_engine_parity import TorchAAMTrainer
+    from test_torch_import_e2e import TSpeakerModel
+
+    torch.manual_seed(SEED)
+    tm = TorchAAMTrainer(
+        TSpeakerModel([1, 1, 1, 1], feat_dim=40, base=8), n_spk).train()
+    init_sd = {k: v.clone() for k, v in tm.state_dict().items()}
+    opt = torch.optim.SGD(tm.parameters(), lr=LR0, momentum=0.9,
+                          weight_decay=5e-4)
+    t0 = time.time()
+    for i in range(len(xs)):
+        for g in opt.param_groups:
+            g["lr"] = schedule_lr[i]
+        opt.zero_grad()
+        loss = tm(torch.from_numpy(xs[i]), torch.from_numpy(ys[i]))
+        loss.backward()
+        opt.step()
+    dt = time.time() - t0
+    print(f"torch: {len(xs)} steps in {dt:.1f}s, final loss {float(loss):.3f}")
+    return tm, init_sd, dt
+
+
+def train_pkr(xs, ys, schedule_lr, n_spk, init_sd):
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.checkpoint import import_torch_checkpoint
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    fm = SpeakerModel(spk_num=n_spk, feat_dim=40, trunk="tiny_resnet",
+                      pooling="mean+std", loss="AAM", dtype=jnp.float32)
+    variables = fm.init(jax.random.key(0), jnp.zeros((1, 40, CROP_T)),
+                        jnp.zeros((1,), jnp.int32), train=True)
+    sd = {k.replace("base.", ""): v for k, v in init_sd.items()}
+    sd.pop("last", None)
+    sd["last.weight"] = init_sd["last"]
+    variables = import_torch_checkpoint(sd, variables, verbose=False)
+    state = create_train_state(fm, jax.random.key(0),
+                               jnp.zeros((2, 40, CROP_T)),
+                               jnp.zeros((2,), jnp.int32))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    _, step = make_train_step(fm)
+    t0 = time.time()
+    for i in range(len(xs)):
+        state, metrics = step(state, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                              jnp.asarray(schedule_lr[i], jnp.float32))
+    loss = float(metrics["loss"])
+    dt = time.time() - t0
+    print(f"pkr_tpu: {len(xs)} steps in {dt:.1f}s, final loss {loss:.3f}")
+    return fm, state, dt
+
+
+def eval_embeddings_torch(tm, feats, utts):
+    import torch
+
+    tm.base.eval()
+    out = {}
+    with torch.no_grad():
+        for u in utts:
+            x = torch.from_numpy(feats[u].T[None].astype(np.float32))
+            out[u] = tm.base(x).numpy()[0]
+    return out
+
+
+def eval_embeddings_pkr(fm, state, feats, utts):
+    import jax.numpy as jnp
+
+    from pkr_tpu.models import SpeakerModel
+
+    x = jnp.asarray(np.stack([feats[u].T for u in utts]).astype(np.float32))
+    emb = fm.apply({"params": state.params, "batch_stats": state.batch_stats},
+                   x, method=SpeakerModel.embed)
+    return dict(zip(utts, np.asarray(emb)))
+
+
+def score(embs, eval_utts, utt2spk):
+    from pkr_tpu.eval.metrics import compute_eer, compute_min_dcf
+    from pkr_tpu.eval.scoring import cosine_scores
+
+    enroll, test = {}, {}
+    for u in eval_utts:
+        (enroll if u.endswith("utt12") else test)[u] = embs[u]
+    trials, labels = [], []
+    for e in enroll:
+        for t in test:
+            trials.append((e, t))
+            labels.append(1 if utt2spk[e] == utt2spk[t] else 0)
+    scores = cosine_scores(enroll, test, trials)
+    eer = compute_eer(scores.tolist(), labels)
+    dcf1, _ = compute_min_dcf(scores.tolist(), labels, p_target=0.01)
+    dcf2, _ = compute_min_dcf(scores.tolist(), labels, p_target=0.001)
+    return np.asarray(scores), np.asarray(labels), eer, dcf1, dcf2
+
+
+def bootstrap_eer(scores, labels, n=1000, seed=1):
+    from pkr_tpu.eval.metrics import compute_eer
+
+    rng = np.random.default_rng(seed)
+    out = np.empty(n)
+    m = len(scores)
+    for i in range(n):
+        idx = rng.integers(0, m, m)
+        if labels[idx].min() == labels[idx].max():  # degenerate resample
+            idx = np.arange(m)
+        out[i] = compute_eer(scores[idx].tolist(), labels[idx].tolist())
+    return np.percentile(out, [2.5, 50, 97.5])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="parity_e2e_")
+    data_dir = os.path.join(root, "data")
+    utts, utt2spk = synth_corpus(data_dir)
+    feats = load_features(data_dir, os.path.join(root, "feats"))
+    spks = sorted({s for s in utt2spk.values()})
+    spk_ids = {u: spks.index(s) for u, s in utt2spk.items()}
+    train_utts = [u for u in utts if int(u.split("utt")[1]) < N_UTT - N_EVAL]
+    eval_utts = [u for u in utts if int(u.split("utt")[1]) >= N_UTT - N_EVAL]
+
+    rng = np.random.default_rng(SEED)
+    xs, ys, spe = build_schedule(feats, train_utts, spk_ids, rng)
+    lr = np.concatenate([
+        np.full(spe, 0.5 * LR0 * (1 + np.cos(np.pi * e / EPOCHS)))
+        for e in range(EPOCHS)])
+    print(f"{len(train_utts)} train / {len(eval_utts)} eval utts, "
+          f"{len(xs)} steps")
+
+    tm, init_sd, t_torch = train_torch(xs, ys, lr, N_SPK)
+    fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK, init_sd)
+
+    emb_t = eval_embeddings_torch(tm, feats, eval_utts)
+    emb_p = eval_embeddings_pkr(fm, state, feats, eval_utts)
+    s_t, l_t, eer_t, dcf1_t, dcf2_t = score(emb_t, eval_utts, utt2spk)
+    s_p, l_p, eer_p, dcf1_p, dcf2_p = score(emb_p, eval_utts, utt2spk)
+    ci_t = bootstrap_eer(s_t, l_t)
+    ci_p = bootstrap_eer(s_p, l_p)
+
+    lines = [
+        "# PARITY_E2E — end-to-end quality parity vs the reference torch engine",
+        "",
+        f"Generated by `tools/parity_e2e.py` (seed {SEED}).  Both engines",
+        "trained from IDENTICAL initial weights on an identical batch",
+        f"schedule: {N_SPK} synthetic speakers x {N_UTT - N_EVAL} train utts",
+        f"({SECONDS}s each), tiny_resnet trunk + mean+std pooling + AAM head",
+        f"(m=0.2, s=30), SGD momentum 0.9 / wd 5e-4, cosine LR {LR0}->0 over",
+        f"{EPOCHS} epochs ({len(xs)} steps, batch {BATCH}, {CROP_T}-frame",
+        "crops).  Held-out trials: 1 enroll + 3 test utts per speaker, all",
+        f"pairs = {len(s_t)} trials.  The torch engine is the reference",
+        "architecture/trainer math (tests/test_torch_import_e2e.py,",
+        "tests/test_engine_parity.py; reference scripts/model.py:334-501 +",
+        "scripts/train_resnet.py:290-345).",
+        "",
+        "| engine | EER | minDCF(0.01) | minDCF(0.001) | EER 95% bootstrap CI |",
+        "|---|---|---|---|---|",
+        f"| torch (reference) | {eer_t:.4f} | {dcf1_t:.4f} | {dcf2_t:.4f} | "
+        f"[{ci_t[0]:.4f}, {ci_t[2]:.4f}] |",
+        f"| pkr_tpu | {eer_p:.4f} | {dcf1_p:.4f} | {dcf2_p:.4f} | "
+        f"[{ci_p[0]:.4f}, {ci_p[2]:.4f}] |",
+        "",
+        f"Wall clock: torch-CPU {t_torch:.1f}s, pkr_tpu {t_pkr:.1f}s "
+        f"(same {len(xs)} steps).",
+        "",
+        "**Verdict:** the bootstrap CIs "
+        + ("OVERLAP — quality parity holds."
+           if (ci_t[0] <= ci_p[2] and ci_p[0] <= ci_t[2])
+           else "DO NOT overlap — investigate."),
+        "",
+    ]
+    doc = "\n".join(lines)
+    with open(os.path.join(REPO, "PARITY_E2E.md"), "w") as f:
+        f.write(doc)
+    print(doc)
+
+
+if __name__ == "__main__":
+    main()
