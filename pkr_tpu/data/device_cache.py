@@ -9,9 +9,10 @@ uint8 codes with per-(utterance, mel-bin) percentile tables — the same
 training step gathers + dequantizes its crops entirely on device.
 
 Memory: VoxCeleb2-dev post-VAD ≈ 1.09 G frames x 40 mels ≈ 44 GB at 1 B/val
-— sharded over 8 chips' HBM (5.5 GB/chip) or rotated in per-epoch shards on
-one chip.  A 500k-crop epoch shard (feature_pre.sh's decode subset scale) is
-~4 GB.
+— sharded over 8 chips' HBM (5.5 GB/chip) via ShardedDeviceFeatureCache
+(each device holds its utterance shard and samples locally under shard_map),
+or rotated in per-epoch shards on one chip with DeviceFeatureCache.  A
+500k-crop epoch shard (feature_pre.sh's decode subset scale) is ~4 GB.
 
 TPU notes: the per-utterance crop is a vmapped dynamic_slice over a
 row-contiguous buffer (efficient sliced gather, NOT a general gather);
@@ -186,3 +187,173 @@ class DeviceCacheLoader:
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             feats, labels = self.cache.sample_batch(sel, sub, self.chunk)
             yield feats, labels
+
+
+class ShardedDeviceFeatureCache:
+    """The multi-chip regime of the HBM cache (VERDICT r1 weak #4): the
+    quantized corpus sharded over the mesh's 'data' axis.
+
+    Utterances are partitioned round-robin over the data shards; every shard
+    is padded to a common (rows, n_utts) so the whole corpus stacks into
+    leading-axis-sharded arrays — codes (n_data, R, F) with
+    NamedSharding P('data'), each device physically holding only ITS shard.
+    Sampling runs under shard_map: each device crops + dequantizes B_local
+    rows from its local shard and the outputs come back P('data')-sharded —
+    a global batch laid out exactly as the pjit train step wants it, with
+    zero host traffic and zero cross-device traffic in the data plane.
+
+    This mirrors the reference's per-GPU DataLoader shard
+    (train_resnet.py:240-247), minus the host: the reference moves every
+    batch host→GPU each step; here the corpus lives in HBM once.
+    """
+
+    def __init__(self, mesh, codes, pct, offsets, rows, labels,
+                 utts_per_shard: List[List[str]], n_utts: np.ndarray):
+        self.mesh = mesh
+        self.codes = codes      # (n_data, R, F) uint8, sharded P('data')
+        self.pct = pct          # (n_data, U, 4, F) f32
+        self.offsets = offsets  # (n_data, U) int32
+        self.rows = rows        # (n_data, U) int32
+        self.labels = labels    # (n_data, U) int32
+        self.utts_per_shard = utts_per_shard
+        self.n_utts = n_utts    # true (unpadded) utterance count per shard
+        self._sample_fn = {}
+
+    @staticmethod
+    def build(mats: Dict[str, np.ndarray], labels: Dict[str, int],
+              mesh) -> "ShardedDeviceFeatureCache":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = int(dict(zip(mesh.axis_names, mesh.devices.shape))["data"])
+        utts = sorted(mats)
+        shards = [utts[d::n] for d in range(n)]
+        F = next(iter(mats.values())).shape[1]
+        u_max = max(len(s) for s in shards)
+
+        blocks, pcts, offs, rws, labs = [], [], [], [], []
+        for s in shards:
+            off, code_rows, pct_rows, o_row, r_row, l_row = 0, [], [], [], [], []
+            for u in s:
+                c, p = quantize_utterance(mats[u])
+                o_row.append(off)
+                r_row.append(c.shape[0])
+                off += c.shape[0]
+                code_rows.append(c)
+                pct_rows.append(p)
+                l_row.append(labels[u])
+            pad_u = u_max - len(s)
+            blocks.append(np.concatenate(code_rows, axis=0))
+            pcts.append(np.pad(np.stack(pct_rows), ((0, pad_u), (0, 0), (0, 0))))
+            offs.append(np.pad(np.asarray(o_row, np.int32), (0, pad_u)))
+            rws.append(np.pad(np.asarray(r_row, np.int32), (0, pad_u)))
+            labs.append(np.pad(np.asarray(l_row, np.int32), (0, pad_u)))
+        r_max = max(b.shape[0] for b in blocks)
+        blocks = [np.pad(b, ((0, r_max - b.shape[0]), (0, 0))) for b in blocks]
+
+        def put(x, spec):
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+        return ShardedDeviceFeatureCache(
+            mesh,
+            put(np.stack(blocks), P("data")),
+            put(np.stack(pcts), P("data")),
+            put(np.stack(offs), P("data")),
+            put(np.stack(rws), P("data")),
+            put(np.stack(labs), P("data")),
+            shards, np.asarray([len(s) for s in shards]))
+
+    @property
+    def nbytes_per_shard(self) -> int:
+        n = self.codes.shape[0]
+        return int(self.codes.size // n + self.pct.size * 4 // n)
+
+    def _build_sample(self, seq_len: int):
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+
+        def shard_map(f, in_specs, out_specs):
+            try:
+                return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                     out_specs=out_specs, check_vma=False)
+            except (AttributeError, TypeError):  # pragma: no cover
+                from jax.experimental.shard_map import shard_map as sm
+                return sm(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+        def local(codes, pct, offsets, rows, labels, utt_ids, seeds):
+            codes, pct = codes[0], pct[0]
+            offsets, rows, labels = offsets[0], rows[0], labels[0]
+            key = jax.random.fold_in(jax.random.key(seeds[0]),
+                                     jax.lax.axis_index("data"))
+            r = rows[utt_ids]
+            starts = offsets[utt_ids] + (
+                jax.random.uniform(key, utt_ids.shape)
+                * jnp.maximum(r - seq_len + 1, 1)).astype(jnp.int32)
+
+            def crop(start):
+                return jax.lax.dynamic_slice(
+                    codes, (start, 0), (seq_len, codes.shape[1]))
+
+            feats = dequantize(jax.vmap(crop)(starts), pct[utt_ids])
+            return jnp.transpose(feats, (0, 2, 1)), labels[utt_ids]
+
+        fn = shard_map(
+            local,
+            in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                      P("data"), P()),
+            out_specs=(P("data"), P("data")))
+        return jax.jit(fn)
+
+    def sample_batch(self, local_utt_ids: np.ndarray, seed: int,
+                     seq_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """local_utt_ids: (n_data * B_local,) — segment d indexes INTO shard
+        d's utterance list.  Returns (feats (B_global, F, T), labels), both
+        sharded P('data') over the mesh, ready for the pjit train step."""
+        if seq_len not in self._sample_fn:
+            self._sample_fn[seq_len] = self._build_sample(seq_len)
+        return self._sample_fn[seq_len](
+            self.codes, self.pct, self.offsets, self.rows, self.labels,
+            jnp.asarray(local_utt_ids, jnp.int32),
+            jnp.asarray([seed], jnp.uint32))
+
+
+class ShardedCacheLoader:
+    """train_and_validate-compatible loader over a ShardedDeviceFeatureCache.
+
+    Each shard runs its own BalancedRepetitionSampler over ITS utterances
+    (per-shard balance approximates the global balance since utterances are
+    partitioned round-robin across shards); per step, each device draws
+    B_local = batch_size / n_data crops locally."""
+
+    def __init__(self, cache: ShardedDeviceFeatureCache, batch_size: int,
+                 chunk: int = 200, seed: int = 0, max_per_class: int = 500):
+        from pkr_tpu.data.sampler import BalancedRepetitionSampler
+
+        n = len(cache.utts_per_shard)
+        assert batch_size % n == 0, (batch_size, n)
+        self.cache = cache
+        self.batch_size = batch_size
+        self.b_local = batch_size // n
+        self.chunk = chunk
+        self.seed = seed
+        labels = np.asarray(cache.labels)
+        self.samplers = [
+            BalancedRepetitionSampler(
+                cache.utts_per_shard[d],
+                labels[d][:cache.n_utts[d]], max_per_class)
+            for d in range(n)]
+
+    def batches_per_epoch(self) -> int:
+        return min(len(s) for s in self.samplers) // self.b_local
+
+    def epoch(self, epoch: int):
+        per_shard = [s.epoch_indices(epoch, self.seed + d)
+                     for d, s in enumerate(self.samplers)]
+        n_batches = self.batches_per_epoch()
+        for b in range(n_batches):
+            ids = np.concatenate([
+                p[b * self.b_local:(b + 1) * self.b_local]
+                for p in per_shard]).astype(np.int32)
+            yield self.cache.sample_batch(
+                ids, (self.seed << 16) ^ (epoch << 8) ^ b, self.chunk)
