@@ -1,0 +1,85 @@
+"""Two REAL jax.distributed processes on CPU (VERDICT r1 next-round item 6).
+
+The reference shipped multi-node flag plumbing it never tested
+(train_resnet.py:73-78,148-149).  This smoke actually launches two local
+processes through pkr_tpu.parallel.distributed.initialize, and asserts:
+- process_count / global device_count reflect both processes,
+- the host-sharded sampler partitions an epoch EXACTLY (each process gets
+  the interleaved slice of the same shuffled sequence; union is complete),
+- a cross-process global reduction (sum over a P('data') array spanning
+  both processes' devices) agrees on every process.
+
+Workers run with a clean PYTHONPATH (no ambient TPU plugin) and the gloo
+CPU collectives backend.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from pkr_tpu.parallel.distributed import host_info, initialize
+initialize(coordinator_address=f"localhost:{{port}}", num_processes=nproc,
+           process_id=pid)
+idx, cnt, local = host_info()
+assert (idx, cnt, local) == (pid, nproc, 1), (idx, cnt, local)
+assert jax.device_count() == nproc
+
+# host-sharded sampler partitions the SAME shuffled epoch exactly
+from pkr_tpu.data.sampler import BalancedRepetitionSampler
+s = BalancedRepetitionSampler([f"u{{i}}" for i in range(13)],
+                              [i % 3 for i in range(13)])
+mine = s.epoch_indices(0, seed=5, process_index=pid, process_count=nproc)
+full = s.epoch_indices(0, seed=5)
+np.testing.assert_array_equal(mine, full[pid::nproc])
+assert sum(len(s.epoch_indices(0, 5, p, nproc)) for p in range(nproc)) \\
+    == len(full)
+
+# global reduction across processes: every process holds one shard of a
+# P('data') array; the jit'd sum must see both
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(np.array(jax.devices()), ("data",))
+x = jax.make_array_from_callback(
+    (nproc,), NamedSharding(mesh, P("data")),
+    lambda _: np.asarray([float(pid + 1)], np.float32))
+total = float(jax.jit(jnp.sum)(x))
+assert total == nproc * (nproc + 1) / 2, total
+print(f"worker {{pid}}: sampler exact, global sum {{total}} OK", flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=REPO))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "worker 0" in outs[0] and "OK" in outs[0], outs[0]
+    assert "worker 1" in outs[1] and "OK" in outs[1], outs[1]
