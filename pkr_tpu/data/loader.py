@@ -203,7 +203,8 @@ class EvalLoader:
                  quantum: int = 100, max_len: Optional[int] = 2000,
                  chunk_size: int = -1, long_mode: str = "truncate",
                  seed: int = 0,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 pad_to_batch: bool = True):
         self.source = source
         self.batch_size = batch_size
         self.quantum = quantum
@@ -212,6 +213,11 @@ class EvalLoader:
         self.long_mode = long_mode
         self.rng = np.random.default_rng(seed)
         self.my_ids = list(range(process_index, len(source), process_count))
+        # pad final partial buckets to the full batch size so a corpus pass
+        # compiles at most max_len/quantum programs (a ragged tail per bucket
+        # would otherwise each pay a fresh compile); consumers drop the pad
+        # rows because `keys` keeps its true length.
+        self.pad_to_batch = pad_to_batch
 
     def _segments(self, i: int):
         mat = self.source.read(i)
@@ -245,10 +251,13 @@ class EvalLoader:
 
     def _emit(self, L: int, items):
         B = len(items)
+        rows = self.batch_size if (self.pad_to_batch
+                                   and B < self.batch_size) else B
         F = items[0][1].shape[1]
-        feats = np.zeros((B, F, L), np.float32)
-        mask = np.zeros((B, L), bool)
-        keys = []
+        feats = np.zeros((rows, F, L), np.float32)
+        mask = np.zeros((rows, L), bool)
+        mask[B:] = True  # pad rows: full mask over zero features, so the
+        keys = []        # masked pooling never divides by a zero count
         for b, (key, mat) in enumerate(items):
             feats[b, :, : len(mat)] = mat.T
             mask[b, : len(mat)] = True

