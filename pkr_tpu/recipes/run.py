@@ -283,6 +283,9 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                            ckpt_dir, st, keep_last=max(
                                cfg.train.keep_last_checkpoints, 2)))
                        if cfg.train.save_every_steps else None)
+    from pkr_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # the last save is async; commit before returning
 
 
 def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> None:

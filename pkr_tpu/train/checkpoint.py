@@ -22,40 +22,70 @@ import orbax.checkpoint as ocp
 from pkr_tpu.train.state import TrainState
 
 
+_ASYNC_CKPTR = None
+
+
 def _ckptr():
-    return ocp.PyTreeCheckpointer()
+    """Process-wide AsyncCheckpointer (SURVEY §5: saves must not block the
+    step loop).  Array data is snapshotted synchronously (device_get below),
+    serialization + disk IO run on a background thread; Orbax commits via
+    tmp-dir + rename so readers never see partial checkpoints."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
-                    keep_last: int = 0) -> None:
+                    keep_last: int = 0, sync: bool = False) -> None:
     """Save to <path>/ckpt_<epoch>; copy to <path>/best when is_best
     (model_best.pth.tar semantics, train_resnet.py:384-385).  keep_last > 0
-    prunes older ckpt_* dirs, retaining the newest N (plus 'best')."""
+    prunes older ckpt_* dirs, retaining the newest N (plus 'best').
+
+    Asynchronous with wait-on-next-save semantics: this call returns once
+    the state is snapshotted off the devices; the disk write overlaps
+    subsequent training steps.  A new save (or any restore) first waits for
+    the previous one.  is_best waits (the best copy needs the committed
+    files); sync=True forces a full wait before returning."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     epoch = int(state.epoch)
     target = os.path.join(path, f"ckpt_{epoch}")
+    ck = _ckptr()
+    ck.wait_until_finished()  # at most one save in flight
     if os.path.exists(target):
         shutil.rmtree(target)
-    _ckptr().save(target, jax.device_get(state))
+    ck.save(target, jax.device_get(state))
     with open(os.path.join(path, "latest"), "w") as f:
         f.write(str(epoch))
     if is_best:
+        ck.wait_until_finished()
         best = os.path.join(path, "best")
         if os.path.exists(best):
             shutil.rmtree(best)
         shutil.copytree(target, best)
     if keep_last > 0:
-        epochs = sorted(
-            (int(d[5:]) for d in os.listdir(path)
-             if d.startswith("ckpt_") and d[5:].isdigit()), reverse=True)
-        for old in epochs[keep_last:]:
-            shutil.rmtree(os.path.join(path, f"ckpt_{old}"), ignore_errors=True)
+        epochs = {int(d[5:]) for d in os.listdir(path)
+                  if d.startswith("ckpt_") and d[5:].isdigit()}
+        epochs.add(epoch)  # the in-flight save counts toward the newest N
+        for old in sorted(epochs, reverse=True)[keep_last:]:
+            if old != epoch:  # never the in-flight target
+                shutil.rmtree(os.path.join(path, f"ckpt_{old}"),
+                              ignore_errors=True)
+    if sync:
+        ck.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template: TrainState,
                        which: str = "latest") -> Optional[TrainState]:
     """Restore 'latest', 'best', or an explicit epoch number."""
+    wait_for_checkpoints()  # an in-flight async save may be the target
     path = os.path.abspath(path)
     if which == "latest":
         marker = os.path.join(path, "latest")
@@ -198,6 +228,7 @@ def load_pretrained_variables(path: str, variables: Dict[str, Any],
 
     A strict `restore_checkpoint` would reject the structure mismatch (the
     softmax head has bn1/last, the AAM head has aam_weight)."""
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     if which == "latest":
         marker = os.path.join(path, "latest")

@@ -254,9 +254,49 @@ def test_checkpoint_retention(tiny_setup, tmp_path):
     for e in (1, 2, 3, 4):
         s = state.replace(epoch=jnp.asarray(e, jnp.int32))
         save_checkpoint(str(tmp_path / "ck"), s, is_best=(e == 2), keep_last=2)
+    from pkr_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # saves are async; commit the last one
     dirs = sorted(os.listdir(tmp_path / "ck"))
     assert "ckpt_3" in dirs and "ckpt_4" in dirs
     assert "ckpt_1" not in dirs and "ckpt_2" not in dirs
     assert "best" in dirs  # the pruned best epoch survives as 'best'
     restored = restore_checkpoint(str(tmp_path / "ck"), state, which="best")
     assert int(restored.epoch) == 2
+
+
+def test_async_save_overlaps_training_step(tmp_path):
+    """save_checkpoint returns before the write commits (async), a training
+    step runs during the in-flight save, and the restored state is the one
+    snapshotted at save time — not the post-step state."""
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.checkpoint import (restore_checkpoint, save_checkpoint,
+                                          wait_for_checkpoints)
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=6, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((4, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(4) % 6)
+    state = create_train_state(model, jax.random.key(0), feats, labels)
+    _, step = make_train_step(model)
+    state, _ = step(state, feats, labels, jnp.asarray(0.05, jnp.float32))
+    snap = jax.device_get(state)
+
+    save_checkpoint(str(tmp_path), state)          # returns post-snapshot
+    state2, _ = step(state, feats, labels,         # overlaps the save
+                     jnp.asarray(0.05, jnp.float32))
+    wait_for_checkpoints()
+    got = restore_checkpoint(str(tmp_path), state2)
+    for a, b in zip(jax.tree.leaves(got.params), jax.tree.leaves(snap.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state differs from the post-save step's params
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(got.params),
+                        jax.tree.leaves(state2.params)))
