@@ -48,6 +48,8 @@ class TrainConfig:
     device_cache: bool = False  # HBM-resident quantized features (host-free loop)
     save_every_steps: int = 0  # mid-epoch preemption-safety saves (0 = off)
     keep_last_checkpoints: int = 0  # prune old per-epoch dirs (0 = keep all)
+    profile_dir: Optional[str] = None  # jax.profiler trace of steady steps
+    profile_steps: int = 10
 
 
 @dataclass(frozen=True)

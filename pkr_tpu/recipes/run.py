@@ -278,6 +278,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        start_epoch=start_epoch, print_freq=cfg.train.print_freq,
                        on_epoch_end=on_epoch_end, logger=logger,
                        flash_aam=cfg.train.flash_aam,
+                       profile_dir=cfg.train.profile_dir,
+                       profile_steps=cfg.train.profile_steps,
                        save_every_steps=cfg.train.save_every_steps,
                        on_step_save=(lambda st: save_checkpoint(
                            ckpt_dir, st, keep_last=max(
@@ -426,6 +428,9 @@ def main(argv=None):
     ap.add_argument("--exp-dir", type=str, default="exp/run")
     ap.add_argument("--backend", type=str, default=None,
                     help="override eval backend (cosine|snorm|plda|pool)")
+    ap.add_argument("--profile-dir", type=str, default=None,
+                    help="capture a jax.profiler trace of ~10 steady-state "
+                         "training steps into this dir (stage 3)")
     ap.add_argument("--musan-dir", type=str, default=None,
                     help="MUSAN root for utt2aug augmentation pools")
     args = ap.parse_args(argv)
@@ -443,6 +448,11 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
             cfg.eval, backend=args.backend))
+    if args.profile_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, profile_dir=args.profile_dir))
     os.makedirs(args.exp_dir, exist_ok=True)
     feat_dir = os.path.join(args.exp_dir, "feats")
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")

@@ -150,10 +150,22 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                        logger: Optional[ProgressLogger] = None,
                        flash_aam: bool = False,
                        save_every_steps: int = 0,
-                       on_step_save: Optional[Callable] = None) -> TrainState:
+                       on_step_save: Optional[Callable] = None,
+                       profile_dir: Optional[str] = None,
+                       profile_steps: int = 10) -> TrainState:
     """The epoch loop (train → validate → best-tracking), mirroring
-    train_resnet.py:262-289 but single-program."""
+    train_resnet.py:262-289 but single-program.
+
+    profile_dir captures a jax.profiler trace of `profile_steps` steady-state
+    steps (the first epoch's steps 5..5+n, skipping compile/warmup) —
+    observability the reference never had (SURVEY §5)."""
+    import contextlib
+
+    from pkr_tpu.utils.logging import profile_trace
+
     log = logger or ProgressLogger()
+    prof = contextlib.ExitStack()
+    prof_window = (5, 5 + profile_steps)
     tx, train_step = make_train_step(model, None, momentum=momentum,
                                      weight_decay=weight_decay,
                                      flash_aam=flash_aam, mesh=mesh)
@@ -171,7 +183,12 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         meters = {k: AverageMeter(k) for k in ("loss", "acc1", "acc5", "time")}
         t0 = time.time()
         for i, (feats, labels) in enumerate(train_loader.epoch(epoch)):
+            if profile_dir and epoch == start_epoch and i == prof_window[0]:
+                prof.enter_context(profile_trace(profile_dir))
             state, metrics = train_step(state, put(feats), put(labels), lr)
+            if profile_dir and epoch == start_epoch and i + 1 == prof_window[1]:
+                jax.block_until_ready(metrics)
+                prof.close()
             if save_every_steps and on_step_save and \
                     int(state.step) % save_every_steps == 0:
                 # preemption safety net (SURVEY §5: the reference had only
@@ -187,6 +204,7 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 log.log(f"epoch {epoch} [{i + 1}] lr={float(lr):.5f} " +
                         " ".join(str(m) for m in meters.values()))
                 t0 = time.time()
+        prof.close()  # short epochs: stop an unclosed trace window
         # sharded validation
         totals = {"loss": 0.0, "n1": 0.0, "n5": 0.0, "n": 0.0}
         for feats, labels in cv_loader.epoch(epoch):

@@ -300,3 +300,37 @@ def test_async_save_overlaps_training_step(tmp_path):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(got.params),
                         jax.tree.leaves(state2.params)))
+
+
+def test_profile_trace_captures_artifact(tmp_path):
+    """--profile-dir wiring: a short training run writes a jax.profiler
+    trace (SURVEY §5 tracing gap; the function was dead code in round 1)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import train_and_validate
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=4, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    feats = np.stack([rng.standard_normal((8, 16)).astype(np.float32)
+                      for _ in range(4)])
+    labels = np.arange(4) % 4
+
+    class Loader:
+        def epoch(self, e):
+            for _ in range(8):
+                yield feats, labels
+
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.asarray(feats), jnp.asarray(labels))
+    train_and_validate(model, state, Loader(), Loader(), epochs=1, lr0=0.01,
+                       profile_dir=str(tmp_path / "trace"), profile_steps=2,
+                       print_freq=1000)
+    artifacts = glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                          recursive=True)
+    assert artifacts, list((tmp_path / "trace").rglob("*"))
