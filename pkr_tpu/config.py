@@ -50,6 +50,7 @@ class TrainConfig:
     keep_last_checkpoints: int = 0  # prune old per-epoch dirs (0 = keep all)
     profile_dir: Optional[str] = None  # jax.profiler trace of steady steps
     profile_steps: int = 10
+    model_parallel: int = 1  # mesh 'model' axis: classifier tensor parallel
 
 
 @dataclass(frozen=True)

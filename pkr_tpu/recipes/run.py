@@ -204,7 +204,7 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     os.makedirs(exp_dir, exist_ok=True)
     num_spk = int(open(os.path.join(feat_dir, "num_spk")).read())
     model = build_model(cfg.model, num_spk)
-    mesh = make_mesh()
+    mesh = make_mesh(n_model=cfg.train.model_parallel)
     n_data = mesh.devices.shape[0]
 
     def make_loader(split):
@@ -264,7 +264,13 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
 
-    mesh = make_mesh()
+    if len(mesh.devices.reshape(-1)) > 1:
+        # lay the params out per the mesh rules (classifier class-sharded
+        # over 'model' when present) before the first step
+        from pkr_tpu.parallel import shard_params
+
+        params, _ = shard_params(state.params, mesh)
+        state = state.replace(params=params)
     logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))
 
     def on_epoch_end(state, epoch, metrics):
