@@ -1,0 +1,118 @@
+"""Stage-1 throughput: clean vs augmented feature extraction on the TPU.
+
+The reference fans `wav-reverberate` / MUSAN-mixing pipes over nj=30 CPU
+jobs (steps/data/augment_data_dir.py:71-118, local/make_fbank.sh:118-126);
+our augmentation is one batched device dispatch per bucket inside
+`run_features`.  This script measures the per-utterance stage-1 rate on a
+clean corpus and on its augmented double (clean + one augmented copy per
+utt, every aug kind exercised) and prints both, so the "augmentation is
+nearly free" claim is a number, not an assertion.
+
+Usage: python tools/bench_stage1.py [--utts 96] [--sec 4.0] [--out DIR]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(root: str, n_utts: int, sec: float, rate: int = 16000):
+    from pkr_tpu.io.datadir import DataDir
+    from pkr_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    wav, utt2spk = {}, {}
+    for i in range(n_utts):
+        n = int(sec * rate) + int(rng.integers(0, rate))  # ragged lengths
+        t = np.arange(n) / rate
+        f0 = 90.0 + 30.0 * (i % 8)
+        sig = np.zeros(n, np.float32)
+        for h in range(1, 6):
+            sig += np.sin(2 * np.pi * f0 * h * t).astype(np.float32) / h
+        sig *= 6000.0 / np.abs(sig).max()
+        utt = f"spk{i % 8:02d}-utt{i:04d}"
+        path = os.path.join(wav_dir, utt + ".wav")
+        write_wav(path, sig.astype(np.float32))
+        wav[utt] = path
+        utt2spk[utt] = f"spk{i % 8:02d}"
+    dd = DataDir({"wav.scp": wav, "utt2spk": utt2spk}).make_spk2utt()
+    clean = os.path.join(root, "clean")
+    dd.save(clean)
+    return dd, clean
+
+
+def build_pools(rate: int = 16000):
+    from pkr_tpu.recipes.augment_dir import AugmentPools
+
+    rng = np.random.default_rng(1)
+    def pool(k, sec):
+        wavs = [rng.normal(0, 2000, int(sec * rate)).astype(np.float32)
+                for _ in range(k)]
+        return AugmentPools.from_wavs(wavs, int(sec * rate))
+    rirs = [np.r_[np.zeros(64, np.float32), 1.0,
+                  rng.normal(0, 0.05, 800).astype(np.float32)
+                  * np.exp(-np.arange(800) / 200.0)]
+            for _ in range(8)]
+    return AugmentPools(noise=pool(12, 4.0), music=pool(12, 6.0),
+                        speech=pool(16, 4.0),
+                        rirs=AugmentPools.from_wavs(rirs, int(0.1 * rate)))
+
+
+def time_stage1(data_dir: str, out_dir: str, pools, n_utts: int,
+                batch: int = 16) -> float:
+    from pkr_tpu.recipes.run import run_features
+
+    t0 = time.perf_counter()
+    run_features(data_dir, out_dir, batch=batch, pools=pools)
+    dt = time.perf_counter() - t0
+    n_written = sum(1 for _ in open(os.path.join(out_dir, "feats.scp")))
+    assert n_written == n_utts, (n_written, n_utts)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utts", type=int, default=96)
+    ap.add_argument("--sec", type=float, default=4.0)
+    ap.add_argument("--out", default="/tmp/pkr_stage1_bench")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from pkr_tpu.io.datadir import DataDir
+    from pkr_tpu.recipes.augment_dir import augment_data_dir
+
+    root = args.out
+    dd, clean_dir = build_corpus(root, args.utts, args.sec)
+    aug = augment_data_dir(dd, seed=0)
+    aug_dir = os.path.join(root, "aug")
+    aug.save(aug_dir)
+    pools = build_pools()
+
+    # warm pass compiles every bucket shape; measure the second pass
+    for tag, ddir, n, p in (("clean", clean_dir, args.utts, None),
+                            ("aug", aug_dir, 2 * args.utts, pools)):
+        time_stage1(ddir, os.path.join(root, f"feat_{tag}_warm"), p, n)
+    t_clean = time_stage1(clean_dir, os.path.join(root, "feat_clean"),
+                          None, args.utts)
+    t_aug = time_stage1(aug_dir, os.path.join(root, "feat_aug"),
+                        pools, 2 * args.utts)
+
+    r_clean = args.utts / t_clean
+    r_aug = 2 * args.utts / t_aug
+    print(f"clean: {args.utts} utts in {t_clean:.2f}s = {r_clean:.1f} utts/s")
+    print(f"aug:   {2 * args.utts} utts in {t_aug:.2f}s = {r_aug:.1f} utts/s"
+          f"  (x{r_clean / r_aug:.2f} slower per utt)")
+
+
+if __name__ == "__main__":
+    main()
