@@ -165,44 +165,55 @@ class WavAugmenter:
         return self._tiled[key]
 
     def _build_fn(self, n: int, names):
-        """Jitted (B, n) batch augmenter; branch order = [clean] + names."""
+        """Jitted (B, n) batch augmenter; branch order = [clean] + names.
+
+        Tiled pools and RIRs enter as ARGUMENTS (a tuple in add_names
+        order), not closure constants — jit would bake captured arrays into
+        the compiled program, pinning one full pool copy per bucket length
+        in HBM with no way to evict (the _tiled cache would free nothing).
+        As arguments they live only in the evictable _tiled dict."""
         S = self.MAX_BABBLE
-        tiled = {k: self._tiled_pool(k, n) for k in names if k != "reverb"}
-        lens = {k: self.pools[k][1] for k in names if k != "reverb"}
-        rirs = self.rirs
+        add_names = [k for k in names if k != "reverb"]
+        kind_idx = {k: i for i, k in enumerate(add_names)}
 
-        def row_fn(sig, length, code, src, starts, snrs, n_src):
-            mask = (jnp.arange(n) < length).astype(sig.dtype)
-            e_sig = jnp.maximum(_energy(sig, length), 1e-10)
+        def batch_fn(tiled, rmats, rlens, sigs, lengths, codes,
+                     srcs, startss, snrss, n_srcs):
+            def row_fn(sig, length, code, src, starts, snrs, n_src):
+                mask = (jnp.arange(n) < length).astype(sig.dtype)
+                e_sig = jnp.maximum(_energy(sig, length), 1e-10)
 
-            def scaled(kind, i):
-                t = jax.lax.dynamic_slice(
-                    tiled[kind], (src[i], starts[i]), (1, n))[0]
-                e_n = jnp.maximum(_energy(t, length), 1e-10)
-                return jnp.sqrt(e_sig / (e_n * 10.0 ** (snrs[i] / 10.0))) * t
+                def scaled(kind, i):
+                    t = jax.lax.dynamic_slice(
+                        tiled[kind_idx[kind]], (src[i], starts[i]), (1, n))[0]
+                    e_n = jnp.maximum(_energy(t, length), 1e-10)
+                    return jnp.sqrt(
+                        e_sig / (e_n * 10.0 ** (snrs[i] / 10.0))) * t
 
-            def additive(kind):
-                return lambda: sig + scaled(kind, 0) * mask
+                def additive(kind):
+                    return lambda: sig + scaled(kind, 0) * mask
 
-            def babble():
-                def body(i, acc):
-                    on = jnp.where(i < n_src, 1.0, 0.0)
-                    return acc + on * scaled("babble", i)
+                def babble():
+                    def body(i, acc):
+                        on = jnp.where(i < n_src, 1.0, 0.0)
+                        return acc + on * scaled("babble", i)
 
-                acc = jax.lax.fori_loop(0, S, body, jnp.zeros_like(sig))
-                return sig + acc * mask
+                    acc = jax.lax.fori_loop(0, S, body, jnp.zeros_like(sig))
+                    return sig + acc * mask
 
-            def reverb():
-                mats, rlens = rirs
-                return reverberate(sig, length, mats[src[0]], rlens[src[0]])
+                def reverb():
+                    return reverberate(sig, length, rmats[src[0]],
+                                       rlens[src[0]])
 
-            branches = [lambda: sig]
-            for name in names:
-                branches.append({"babble": babble, "reverb": reverb}.get(
-                    name, additive(name)))
-            return jax.lax.switch(code, branches)
+                branches = [lambda: sig]
+                for name in names:
+                    branches.append({"babble": babble, "reverb": reverb}.get(
+                        name, additive(name)))
+                return jax.lax.switch(code, branches)
 
-        return jax.jit(jax.vmap(row_fn))
+            return jax.vmap(row_fn)(sigs, lengths, codes, srcs, startss,
+                                    snrss, n_srcs)
+
+        return jax.jit(batch_fn)
 
     def _draw_plan(self, codes: np.ndarray, names):
         """Host-side plan vectors for one batch: (src, starts, snrs, n_src)."""
@@ -257,7 +268,14 @@ class WavAugmenter:
         src, starts, snrs, n_src = self._draw_plan(codes, names)
         if n not in self._fns:
             self._fns[n] = self._build_fn(n, names)
-        out = self._fns[n](jnp.asarray(wavs, jnp.float32),
+        tiled = tuple(self._tiled_pool(k, n) for k in names if k != "reverb")
+        if self.rirs is not None:
+            rmats, rlens = self.rirs
+        else:  # unused dummy (no reverb branch without RIRs)
+            rmats = jnp.zeros((1, 1), jnp.float32)
+            rlens = jnp.ones((1,), jnp.int32)
+        out = self._fns[n](tiled, rmats, rlens,
+                           jnp.asarray(wavs, jnp.float32),
                            jnp.asarray(lengths, jnp.int32),
                            jnp.asarray(codes), jnp.asarray(src),
                            jnp.asarray(starts), jnp.asarray(snrs),

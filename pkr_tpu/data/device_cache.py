@@ -226,6 +226,10 @@ class ShardedDeviceFeatureCache:
 
         n = int(dict(zip(mesh.axis_names, mesh.devices.shape))["data"])
         utts = sorted(mats)
+        if len(utts) < n:
+            raise ValueError(
+                f"sharded cache needs at least one utterance per data shard:"
+                f" got {len(utts)} utts for a {n}-way data axis")
         shards = [utts[d::n] for d in range(n)]
         F = next(iter(mats.values())).shape[1]
         u_max = max(len(s) for s in shards)
@@ -355,5 +359,10 @@ class ShardedCacheLoader:
             ids = np.concatenate([
                 p[b * self.b_local:(b + 1) * self.b_local]
                 for p in per_shard]).astype(np.int32)
-            yield self.cache.sample_batch(
-                ids, (self.seed << 16) ^ (epoch << 8) ^ b, self.chunk)
+            # globally unique step id — (epoch<<8)^b style folding collides
+            # across epochs once an epoch has >=256 batches, repeating the
+            # crop-offset key stream epoch to epoch; the sample key is
+            # uint32, so mix the run seed in with a 32-bit odd multiplier
+            step = epoch * n_batches + b
+            key32 = (self.seed * 0x9E3779B1 + step) & 0xFFFFFFFF
+            yield self.cache.sample_batch(ids, key32, self.chunk)

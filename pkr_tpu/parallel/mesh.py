@@ -55,29 +55,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rules(path: str, shape) -> P:
+def param_sharding_rules(path: str, shape, model_size: int = 1) -> P:
     """PartitionSpec for one parameter.
 
-    Classifier weights shard their class dimension over 'model'; everything
-    else (convs, BN, fc1) is replicated — the conv trunk is small (~6M params)
-    and data parallelism is the right regime for it.
+    Classifier weights shard their class dimension over 'model' — but only
+    when the class count divides the axis (NamedSharding requires it; a
+    7325-speaker head on a 2-way model axis falls back to replication, which
+    is exactly the regime make_flash_aam_sharded's replicated-weight path
+    handles).  Everything else (convs, BN, fc1) is replicated — the conv
+    trunk is small (~6M params) and data parallelism is the right regime.
     """
-    if "aam_weight" in path:
+    def fits(dim):
+        return model_size > 1 and shape[dim] % model_size == 0
+
+    if "aam_weight" in path and fits(0):
         return P("model", None)  # (n_spk, emb)
-    if path.endswith("last/kernel"):
+    if path.endswith("last/kernel") and fits(1):
         return P(None, "model")  # dense kernel (in, n_spk)
-    if path.endswith("last/bias"):
+    if path.endswith("last/bias") and fits(0):
         return P("model")
     return P()
 
 
 def shard_params(params, mesh: Mesh):
     """Apply param_sharding_rules over a pytree and device_put accordingly."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    model_size = mesh.shape.get("model", 1)
 
     def spec_for(path_entries, leaf):
         path = "/".join(str(getattr(k, "key", k)) for k in path_entries)
-        return param_sharding_rules(path, leaf.shape)
+        return param_sharding_rules(path, leaf.shape, model_size)
 
     specs = jax.tree_util.tree_map_with_path(
         lambda p, l: NamedSharding(mesh, spec_for(p, l)), params)

@@ -23,6 +23,7 @@ from pkr_tpu.train.state import TrainState
 
 
 _ASYNC_CKPTR = None
+_COMMIT_THREAD = None
 
 
 def _ckptr():
@@ -37,9 +38,12 @@ def _ckptr():
 
 
 def wait_for_checkpoints() -> None:
-    """Block until any in-flight async save has committed."""
+    """Block until any in-flight async save has committed (including its
+    'latest' marker + pruning epilogue)."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    if _COMMIT_THREAD is not None:
+        _COMMIT_THREAD.join()
 
 
 def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
@@ -51,35 +55,47 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
     Asynchronous with wait-on-next-save semantics: this call returns once
     the state is snapshotted off the devices; the disk write overlaps
     subsequent training steps.  A new save (or any restore) first waits for
-    the previous one.  is_best waits (the best copy needs the committed
-    files); sync=True forces a full wait before returning."""
+    the previous one.  The 'latest' marker and keep_last pruning run on a
+    completion thread strictly AFTER the Orbax commit — a preemption
+    mid-save leaves the previous marker pointing at the previous (intact)
+    checkpoint instead of at a missing one.  is_best waits (the best copy
+    needs the committed files); sync=True forces a full wait."""
+    global _COMMIT_THREAD
+    import threading
+
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     epoch = int(state.epoch)
     target = os.path.join(path, f"ckpt_{epoch}")
     ck = _ckptr()
-    ck.wait_until_finished()  # at most one save in flight
+    wait_for_checkpoints()  # at most one save (+epilogue) in flight
     if os.path.exists(target):
         shutil.rmtree(target)
     ck.save(target, jax.device_get(state))
-    with open(os.path.join(path, "latest"), "w") as f:
-        f.write(str(epoch))
-    if is_best:
-        ck.wait_until_finished()
-        best = os.path.join(path, "best")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(target, best)
-    if keep_last > 0:
-        epochs = {int(d[5:]) for d in os.listdir(path)
-                  if d.startswith("ckpt_") and d[5:].isdigit()}
-        epochs.add(epoch)  # the in-flight save counts toward the newest N
-        for old in sorted(epochs, reverse=True)[keep_last:]:
-            if old != epoch:  # never the in-flight target
-                shutil.rmtree(os.path.join(path, f"ckpt_{old}"),
-                              ignore_errors=True)
-    if sync:
-        ck.wait_until_finished()
+
+    def epilogue():
+        ck.wait_until_finished()  # Orbax tmp-dir rename has happened
+        with open(os.path.join(path, "latest"), "w") as f:
+            f.write(str(epoch))
+        if is_best:
+            best = os.path.join(path, "best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(target, best)
+        if keep_last > 0:
+            epochs = {int(d[5:]) for d in os.listdir(path)
+                      if d.startswith("ckpt_") and d[5:].isdigit()}
+            for old in sorted(epochs, reverse=True)[keep_last:]:
+                if old != epoch:  # never the just-committed target
+                    shutil.rmtree(os.path.join(path, f"ckpt_{old}"),
+                                  ignore_errors=True)
+
+    if is_best or sync:
+        epilogue()
+        _COMMIT_THREAD = None
+    else:
+        _COMMIT_THREAD = threading.Thread(target=epilogue, daemon=True)
+        _COMMIT_THREAD.start()
 
 
 def restore_checkpoint(path: str, template: TrainState,

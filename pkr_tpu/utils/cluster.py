@@ -38,12 +38,14 @@ SLURM_TEMPLATE = """#!/bin/bash
 #SBATCH --cpus-per-task={cpus_per_task}
 #SBATCH --output={log_dir}/{name}.%n.log
 {extra_directives}
+mkdir -p {log_dir_q}
 # one process per host; jax.distributed derives the device topology
 export COORDINATOR_ADDRESS="$(scontrol show hostnames "$SLURM_JOB_NODELIST" \\
     | head -n1):{port}"
 export NUM_PROCESSES="$SLURM_NNODES"
-export PROCESS_ID="$SLURM_PROCID"
-srun --kill-on-bad-exit=1 {command}
+# PROCESS_ID must be read inside each srun task: the batch script body runs
+# once (where SLURM_PROCID=0), so exporting it here would pin every task to 0
+srun --kill-on-bad-exit=1 bash -c {payload}
 """
 
 
@@ -52,15 +54,22 @@ def slurm_script(command: str, nodes: int, name: str = "pkr_train",
                  cpus_per_task: int = 8,
                  directives: Sequence[str] = ()) -> str:
     """Render an sbatch script launching `command` once per node with the
-    jax.distributed env-var contract (slurm.pl + conf/slurm.conf role)."""
+    jax.distributed env-var contract (slurm.pl + conf/slurm.conf role).
+
+    Note sbatch opens --output before the body runs: `log_dir` must exist on
+    the submit host at submission time (write_slurm_script creates it)."""
     extra = "\n".join(f"#SBATCH {d}" for d in directives)
+    payload = shlex.quote(
+        'export PROCESS_ID="$SLURM_PROCID"; exec ' + command)
     return SLURM_TEMPLATE.format(name=name, nodes=nodes, log_dir=log_dir,
+                                 log_dir_q=shlex.quote(log_dir),
                                  port=port, cpus_per_task=cpus_per_task,
-                                 command=command, extra_directives=extra)
+                                 payload=payload, extra_directives=extra)
 
 
 def write_slurm_script(path: str, command: str, nodes: int, **kw) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    os.makedirs(kw.get("log_dir", "exp/log"), exist_ok=True)
     with open(path, "w") as f:
         f.write(slurm_script(command, nodes, **kw))
     os.chmod(path, 0o755)
@@ -102,9 +111,22 @@ def launch_hosts(command: str, hosts: Sequence[str],
             transport + [host, f"{prefix} {command}"],
             stdout=log, stderr=subprocess.STDOUT))
         logs.append((log, log_path))
+    # one shared deadline (not per-wait: sequential waits would stack to
+    # len(hosts)*timeout); stragglers past it are killed and reported as
+    # failures alongside nonzero exits, so every log gets its footer and
+    # the caller always sees the full per-host failure list
+    deadline = None if timeout is None else time.monotonic() + timeout
     failures = []
     for pid, (p, (log, log_path)) in enumerate(zip(procs, logs)):
-        rc = p.wait(timeout=timeout)
+        try:
+            remaining = (None if deadline is None
+                         else max(0.0, deadline - time.monotonic()))
+            rc = p.wait(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = p.returncode
+            log.write(f"# timed out after {timeout}s, killed\n")
         log.write(f"# finished at {time.strftime('%Y-%m-%d %H:%M:%S')} "
                   f"rc={rc}\n")
         log.close()

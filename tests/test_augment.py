@@ -177,3 +177,26 @@ def test_augmenter_deterministic_across_instances():
     a = WavAugmenter(noise=noise, seed=42)(wavs.copy(), lengths)
     b = WavAugmenter(noise=noise, seed=42)(wavs.copy(), lengths)
     np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_cache_eviction_does_not_break_augmentation():
+    """Tiled pools enter the jitted augmenter as ARGUMENTS, so evicting the
+    _tiled cache actually frees HBM (a closure-captured pool would be baked
+    into the compiled program and pinned forever) and subsequent calls at
+    any bucket length still work and stay deterministic."""
+    rng = np.random.default_rng(9)
+    noise = (rng.standard_normal((2, 1000)).astype(np.float32) * 50,
+             np.array([1000, 800]))
+    aug = WavAugmenter(noise=noise, seed=7)
+    # exceed the eviction bound with distinct bucket lengths
+    outs = {}
+    for n in range(1000, 1000 + 12 * 64, 64):
+        wavs = (rng.standard_normal((2, n)) * 100).astype(np.float32)
+        outs[n] = (wavs, aug(wavs.copy(), np.array([n, n]),
+                             kinds=["noise", "noise"]))
+    assert len(aug._tiled) <= 8  # the bound holds across 12 shapes
+    # a length whose tile was evicted re-tiles and still augments
+    n0 = 1000
+    wavs0, _ = outs[n0]
+    again = aug(wavs0.copy(), np.array([n0, n0]), kinds=["none", "none"])
+    np.testing.assert_array_equal(again, wavs0)

@@ -16,19 +16,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_slurm_script_rendering(tmp_path):
+    log_dir = str(tmp_path / "log")
     path = write_slurm_script(
         str(tmp_path / "train.sbatch"),
         "python -m pkr_tpu.recipes.run --stage 3 --stop-stage 3 "
         "--data-dir data --exp-dir exp",
-        nodes=4, name="vox", log_dir="exp/log", port=9999,
+        nodes=4, name="vox", log_dir=log_dir, port=9999,
         directives=["--partition=tpu", "--time=24:00:00"])
     s = open(path).read()
     assert "#SBATCH --nodes=4" in s
     assert "#SBATCH --partition=tpu" in s and "#SBATCH --time=24:00:00" in s
     assert 'export NUM_PROCESSES="$SLURM_NNODES"' in s
-    assert 'export PROCESS_ID="$SLURM_PROCID"' in s
-    assert ":9999" in s and "srun --kill-on-bad-exit=1 python -m" in s
+    # PROCESS_ID must be read inside each srun task (the batch body runs
+    # once with SLURM_PROCID=0, so a body-level export would pin every
+    # task's id to 0 and deadlock jax.distributed.initialize)
+    srun_line = [l for l in s.splitlines() if l.startswith("srun")][0]
+    assert 'export PROCESS_ID="$SLURM_PROCID"' in srun_line
+    assert "bash -c" in srun_line and "exec python -m" in srun_line
+    body = s.split("srun")[0]
+    assert 'export PROCESS_ID' not in body
+    assert ":9999" in s and f"mkdir -p {log_dir}" in s
     assert os.stat(path).st_mode & stat.S_IXUSR
+    # sbatch opens --output before the body runs: the submit host needs
+    # log_dir to exist at submission time, so write_slurm_script creates it
+    assert os.path.isdir(log_dir)
 
 
 def _local_transport(tmp_path):
@@ -56,6 +67,26 @@ def test_launch_hosts_logs_and_fail_any(tmp_path):
                      hosts=["a", "b", "c"], log_dir=str(tmp_path / "log"),
                      name="bad", transport=transport)
     assert e.value.failures == [1]
+
+
+def test_launch_hosts_timeout_kills_and_reports(tmp_path):
+    """A hung host is killed at the shared deadline and reported through the
+    normal fail-any JobError (not a raw TimeoutExpired), with its log
+    footer written; healthy hosts still succeed."""
+    transport = _local_transport(tmp_path)
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(JobError) as e:
+        launch_hosts("test $PROCESS_ID -eq 0 && sleep 600; true",
+                     hosts=["a", "b"], log_dir=str(tmp_path / "log"),
+                     name="hang", transport=transport, timeout=3.0)
+    # shared deadline, not per-host: well under 2 * timeout + slack
+    assert time.monotonic() - t0 < 30.0
+    assert e.value.failures == [0]
+    text = open(tmp_path / "log" / "hang.0.log").read()
+    assert "timed out" in text and "rc=" in text
+    assert "rc=0" in open(tmp_path / "log" / "hang.1.log").read()
 
 
 def test_launch_hosts_runs_real_distributed_training(tmp_path):

@@ -188,6 +188,47 @@ def test_flash_mesh_train_step_matches_dense():
         np.asarray(s_dense.params["fc1"]["kernel"]), rtol=1e-3, atol=1e-5)
 
 
+def test_flash_mesh_step_with_nondivisible_speakers():
+    """A speaker count that does NOT divide the model axis (the flagship
+    7325-speaker case on model_parallel=2) must fall back to a replicated
+    class weight end to end: shard_params must not crash (NamedSharding
+    rejects non-divisible dims) and the integrated flash step still matches
+    the dense step."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.parallel import (batch_sharding, make_mesh,
+                                  param_sharding_rules, shard_params)
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+    from jax.sharding import PartitionSpec as P
+
+    assert param_sharding_rules("aam_weight", (7325, 256), 2) == P()
+    assert param_sharding_rules("aam_weight", (7324, 256), 2) == P("model", None)
+
+    model = SpeakerModel(spk_num=13, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.standard_normal((8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 13)
+    state0 = create_train_state(model, jax.random.key(0), feats, labels)
+
+    mesh = make_mesh(n_data=4, n_model=2)  # 13 % 2 != 0 → replicated head
+    sharded_params, _ = shard_params(state0.params, mesh)  # must not raise
+    state_sh = state0.replace(params=sharded_params)
+    fb = jax.device_put(feats, batch_sharding(mesh))
+    lb = jax.device_put(labels, batch_sharding(mesh))
+
+    _, dense_step = make_train_step(model)
+    _, mesh_step = make_train_step(model, flash_aam=True,
+                                   flash_interpret=True, mesh=mesh)
+    lr = jnp.asarray(0.05, jnp.float32)
+    s_dense, m_dense = dense_step(state0, feats, labels, lr)
+    s_mesh, m_mesh = mesh_step(state_sh, fb, lb, lr)
+    assert abs(float(m_dense["loss"]) - float(m_mesh["loss"])) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(s_mesh.params["aam_weight"]),
+        np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
+
+
 def test_nan_guard_protects_batch_stats():
     """A poisoned batch (inf feats → non-finite loss) must not commit ANY
     state — params, optimizer, and BatchNorm running stats (ADVICE r1)."""
