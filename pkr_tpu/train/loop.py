@@ -202,7 +202,10 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 for k in ("loss", "acc1", "acc5"):
                     meters[k].update(float(metrics[k]))
                 log.log(f"epoch {epoch} [{i + 1}] lr={float(lr):.5f} " +
-                        " ".join(str(m) for m in meters.values()))
+                        " ".join(str(m) for m in meters.values()),
+                        epoch=epoch, step=i + 1, lr=float(lr),
+                        loss=meters["loss"].avg, acc1=meters["acc1"].avg,
+                        step_time=meters["time"].avg)
                 t0 = time.time()
         prof.close()  # short epochs: stop an unclosed trace window
         # sharded validation
@@ -214,7 +217,9 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         acc1 = totals["n1"] / max(totals["n"], 1.0)
         acc5 = totals["n5"] / max(totals["n"], 1.0)
         cv_loss = totals["loss"] / max(totals["n"], 1.0)
-        log.log(f"epoch {epoch} CV: loss={cv_loss:.4f} acc1={acc1:.4f} acc5={acc5:.4f}")
+        log.log(f"epoch {epoch} CV: loss={cv_loss:.4f} acc1={acc1:.4f} "
+                f"acc5={acc5:.4f}",
+                epoch=epoch, loss=cv_loss, acc1=acc1, acc5=acc5)
         is_best = acc1 > float(state.best_acc1)
         state = state.replace(
             epoch=jnp.asarray(epoch + 1, jnp.int32),

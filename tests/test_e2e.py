@@ -260,6 +260,34 @@ def test_recipe_device_cache_training(tmp_path, tiny_cfg):
     assert os.path.exists(os.path.join(exp_dir, "checkpoints", "latest"))
 
 
+def test_recipe_tp_flash_nondivisible_speakers(tmp_path, tiny_cfg):
+    """model_parallel=2 + flash_aam through the REAL recipe driver with a
+    speaker count that does NOT divide the model axis (5 % 2 != 0): the
+    classifier must fall back to replication inside shard_params and the
+    integrated flash step must still train (the flagship 7325-speaker CLI
+    config crashed here before the round-2 fallback)."""
+    import dataclasses
+
+    data_dir = str(tmp_path / "data")
+    exp_dir = str(tmp_path / "exp")
+    synth_corpus(data_dir, n_spk=5, n_utt=4, seconds=1.0)
+    feat_dir = os.path.join(exp_dir, "feats")
+    recipe.run_features(data_dir, feat_dir, batch=4, dither=0.0)
+    n = recipe.run_split(feat_dir, data_dir, min_frames=50,
+                         cv_fraction=0.25, seed=0)
+    assert n == 5
+    cfg = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+        tiny_cfg.train, epochs=1, batch_size=8, model_parallel=2,
+        flash_aam=True))
+    recipe.run_train(cfg, feat_dir, exp_dir)
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints", "latest"))
+    import json
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(exp_dir, "train_metrics.jsonl"))]
+    assert any(np.isfinite(l.get("loss", np.nan)) for l in lines)
+
+
 def test_cli_softmax_plda_preset_flow(tmp_path):
     """The run.sh analog through the CLI: softmax training + plda backend
     (preset knobs overridden to tiny scales via a derived config)."""

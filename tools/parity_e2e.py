@@ -184,8 +184,10 @@ def score(embs, eval_utts, utt2spk):
     from pkr_tpu.eval.scoring import cosine_scores
 
     enroll, test = {}, {}
+    first_eval = N_UTT - N_EVAL  # first held-out index enrolls the speaker
     for u in eval_utts:
-        (enroll if u.endswith("utt12") else test)[u] = embs[u]
+        is_enroll = int(u.split("utt")[1]) == first_eval
+        (enroll if is_enroll else test)[u] = embs[u]
     trials, labels = [], []
     for e in enroll:
         for t in test:
@@ -212,18 +214,13 @@ def bootstrap_eer(scores, labels, n=1000, seed=1):
     return np.percentile(out, [2.5, 50, 97.5])
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="parity_e2e_")
-    data_dir = os.path.join(root, "data")
+def run_once(root):
+    """One full both-engines run at the current globals; returns a result
+    row dict (seeded by the SEED global: corpus, init and schedule all
+    re-drawn per seed, so seeds are independent replicates)."""
+    data_dir = os.path.join(root, f"data_s{SEED}")
     utts, utt2spk = synth_corpus(data_dir)
-    feats = load_features(data_dir, os.path.join(root, "feats"))
+    feats = load_features(data_dir, os.path.join(root, f"feats_s{SEED}"))
     spks = sorted({s for s in utt2spk.values()})
     spk_ids = {u: spks.index(s) for u, s in utt2spk.items()}
     train_utts = [u for u in utts if int(u.split("utt")[1]) < N_UTT - N_EVAL]
@@ -234,8 +231,8 @@ def main():
     lr = np.concatenate([
         np.full(spe, 0.5 * LR0 * (1 + np.cos(np.pi * e / EPOCHS)))
         for e in range(EPOCHS)])
-    print(f"{len(train_utts)} train / {len(eval_utts)} eval utts, "
-          f"{len(xs)} steps")
+    print(f"seed {SEED}: {len(train_utts)} train / {len(eval_utts)} eval "
+          f"utts, {len(xs)} steps")
 
     tm, init_sd, t_torch = train_torch(xs, ys, lr, N_SPK)
     fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK, init_sd)
@@ -246,36 +243,106 @@ def main():
     s_p, l_p, eer_p, dcf1_p, dcf2_p = score(emb_p, eval_utts, utt2spk)
     ci_t = bootstrap_eer(s_t, l_t)
     ci_p = bootstrap_eer(s_p, l_p)
+    return dict(seed=SEED, n_trials=len(s_t),
+                eer_t=eer_t, dcf1_t=dcf1_t, dcf2_t=dcf2_t, ci_t=ci_t,
+                eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p, ci_p=ci_p,
+                t_torch=t_torch, t_pkr=t_pkr, steps=len(xs))
+
+
+def main():
+    global SEED, N_SPK, N_UTT, EPOCHS
+
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent replicates (corpus+init+schedule)")
+    ap.add_argument("--spk", type=int, default=N_SPK)
+    ap.add_argument("--utt", type=int, default=N_UTT)
+    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    args = ap.parse_args()
+    N_SPK, N_UTT, EPOCHS = args.spk, args.utt, args.epochs
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="parity_e2e_")
+    rows = []
+    for s in range(args.seeds):
+        SEED = s
+        rows.append(run_once(root))
+
+    r = rows[0]
+    (eer_t, dcf1_t, dcf2_t, ci_t) = (r["eer_t"], r["dcf1_t"], r["dcf2_t"], r["ci_t"])
+    (eer_p, dcf1_p, dcf2_p, ci_p) = (r["eer_p"], r["dcf1_p"], r["dcf2_p"], r["ci_p"])
+    s_len, t_torch, t_pkr, xs_len = r["n_trials"], r["t_torch"], r["t_pkr"], r["steps"]
 
     lines = [
         "# PARITY_E2E — end-to-end quality parity vs the reference torch engine",
         "",
-        f"Generated by `tools/parity_e2e.py` (seed {SEED}).  Both engines",
-        "trained from IDENTICAL initial weights on an identical batch",
-        f"schedule: {N_SPK} synthetic speakers x {N_UTT - N_EVAL} train utts",
+        f"Generated by `tools/parity_e2e.py --seeds {args.seeds} "
+        f"--spk {N_SPK} --utt {N_UTT} --epochs {EPOCHS}`.",
+        "Per seed, both engines trained from IDENTICAL initial weights on",
+        f"an identical batch schedule: {N_SPK} synthetic speakers x "
+        f"{N_UTT - N_EVAL} train utts",
         f"({SECONDS}s each), tiny_resnet trunk + mean+std pooling + AAM head",
         f"(m=0.2, s=30), SGD momentum 0.9 / wd 5e-4, cosine LR {LR0}->0 over",
-        f"{EPOCHS} epochs ({len(xs)} steps, batch {BATCH}, {CROP_T}-frame",
+        f"{EPOCHS} epochs ({xs_len} steps, batch {BATCH}, {CROP_T}-frame",
         "crops).  Held-out trials: 1 enroll + 3 test utts per speaker, all",
-        f"pairs = {len(s_t)} trials.  The torch engine is the reference",
+        f"pairs = {s_len} trials.  Seeds are independent replicates (fresh",
+        "corpus, init and schedule).  The torch engine is the reference",
         "architecture/trainer math (tests/test_torch_import_e2e.py,",
         "tests/test_engine_parity.py; reference scripts/model.py:334-501 +",
         "scripts/train_resnet.py:290-345).",
         "",
-        "| engine | EER | minDCF(0.01) | minDCF(0.001) | EER 95% bootstrap CI |",
-        "|---|---|---|---|---|",
-        f"| torch (reference) | {eer_t:.4f} | {dcf1_t:.4f} | {dcf2_t:.4f} | "
-        f"[{ci_t[0]:.4f}, {ci_t[2]:.4f}] |",
-        f"| pkr_tpu | {eer_p:.4f} | {dcf1_p:.4f} | {dcf2_p:.4f} | "
-        f"[{ci_p[0]:.4f}, {ci_p[2]:.4f}] |",
+        "| seed | torch EER [95% CI] | pkr_tpu EER [95% CI] | torch minDCF"
+        "(.01/.001) | pkr minDCF(.01/.001) | CIs overlap |",
+        "|---|---|---|---|---|---|",
+    ]
+    overlaps = []
+    for r in rows:
+        ov = (r["ci_t"][0] <= r["ci_p"][2] and r["ci_p"][0] <= r["ci_t"][2])
+        overlaps.append(ov)
+        lines.append(
+            f"| {r['seed']} | {r['eer_t']:.4f} [{r['ci_t'][0]:.4f}, "
+            f"{r['ci_t'][2]:.4f}] | {r['eer_p']:.4f} [{r['ci_p'][0]:.4f}, "
+            f"{r['ci_p'][2]:.4f}] | {r['dcf1_t']:.4f}/{r['dcf2_t']:.4f} | "
+            f"{r['dcf1_p']:.4f}/{r['dcf2_p']:.4f} | "
+            f"{'yes' if ov else 'NO'} |")
+    et = np.asarray([r["eer_t"] for r in rows])
+    ep = np.asarray([r["eer_p"] for r in rows])
+    lines += [
         "",
-        f"Wall clock: torch-CPU {t_torch:.1f}s, pkr_tpu {t_pkr:.1f}s "
-        f"(same {len(xs)} steps).",
+        f"Wall clock per seed: torch-CPU {t_torch:.1f}s, pkr_tpu "
+        f"{t_pkr:.1f}s (same {xs_len} steps).",
         "",
-        "**Verdict:** the bootstrap CIs "
-        + ("OVERLAP — quality parity holds."
-           if (ci_t[0] <= ci_p[2] and ci_p[0] <= ci_t[2])
-           else "DO NOT overlap — investigate."),
+    ]
+    if len(rows) > 1:
+        spread = max(et.std(ddof=1), ep.std(ddof=1), 1e-9)
+        lines += [
+            f"Across {len(rows)} seeds: mean EER torch {et.mean():.4f} "
+            f"(sd {et.std(ddof=1):.4f}) vs pkr_tpu {ep.mean():.4f} "
+            f"(sd {ep.std(ddof=1):.4f}); mean engine gap "
+            f"{abs(et.mean() - ep.mean()):.4f} = "
+            f"{abs(et.mean() - ep.mean()) / spread:.2f}x the seed-to-seed sd.",
+            "",
+        ]
+    lines += [
+        "**Verdict:** "
+        + (f"bootstrap CIs overlap on {sum(overlaps)}/{len(rows)} seeds"
+           + (" and the engine gap is within seed noise"
+              if len(rows) > 1 and
+              abs(et.mean() - ep.mean()) <= max(et.std(ddof=1),
+                                                ep.std(ddof=1), 1e-9)
+              else "")
+           + " — quality parity holds."
+           if all(overlaps) else
+           f"CIs overlap on only {sum(overlaps)}/{len(rows)} seeds — "
+           "investigate."),
         "",
     ]
     doc = "\n".join(lines)
