@@ -35,35 +35,18 @@ _U16 = np.float32(1.0 / 65535.0)
 def quantize_utterance(mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(T, F) float32 → (codes uint8 (T, F), percentiles f32 (4, F)).
 
-    Same anchor selection as io.kaldi_ark.compress_matrix (ranks 0, T//4,
-    3T//4, T-1 with monotonic uint16 codes), per column of this utterance.
-    """
-    from pkr_tpu.io.kaldi_ark import _float_to_uint16
+    Delegates to io.kaldi_ark.cm_quantize_columns — the SAME per-column
+    quantizer as the on-disk CM codec, so the HBM cache is bit-faithful to
+    what `copy-feats --compress=true` training data looks like and a codec
+    fix can never silently diverge from the cache."""
+    from pkr_tpu.io.kaldi_ark import cm_quantize_columns
 
     mat = np.asarray(mat, np.float32)
-    rows = mat.shape[0]
     gmin = float(mat.min()) if mat.size else 0.0
     grange = float(mat.max()) - gmin or 1.0
-    srt = np.sort(mat, axis=0)
-    if rows >= 5:
-        q = rows // 4
-        anchors = srt[[0, q, 3 * q, rows - 1], :]
-    else:
-        anchors = srt[[0, 0, rows - 1, rows - 1], :]
-    codes16 = _float_to_uint16(anchors, gmin, grange).astype(np.int64)
-    codes16[0] = np.minimum(codes16[0], 65532)
-    codes16[1] = np.clip(codes16[1], codes16[0] + 1, 65533)
-    codes16[2] = np.clip(codes16[2], codes16[1] + 1, 65534)
-    codes16[3] = np.maximum(codes16[3], codes16[2] + 1)
-    pct = (gmin + grange * _U16 * codes16.astype(np.float32)).astype(np.float32)
-
-    p0, p25, p75, p100 = pct[0], pct[1], pct[2], pct[3]
-    v = mat
-    low = np.clip(np.floor((v - p0) / np.maximum(p25 - p0, 1e-20) * 64.0 + 0.5), 0, 64)
-    mid = np.clip(np.floor((v - p25) / np.maximum(p75 - p25, 1e-20) * 128.0 + 64.5), 64, 192)
-    high = np.clip(np.floor((v - p75) / np.maximum(p100 - p75, 1e-20) * 63.0 + 192.5), 192, 255)
-    codes = np.where(v < p25, low, np.where(v < p75, mid, high)).astype(np.uint8)
-    return codes, pct
+    _, pct, data = cm_quantize_columns(np.ascontiguousarray(mat.T),
+                                       gmin, grange)
+    return np.ascontiguousarray(data.T), np.ascontiguousarray(pct.T)
 
 
 def dequantize(codes: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
@@ -276,14 +259,11 @@ class ShardedDeviceFeatureCache:
 
         mesh = self.mesh
 
+        from pkr_tpu.parallel.mesh import shard_map_compat
+
         def shard_map(f, in_specs, out_specs):
-            try:
-                return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                                     out_specs=out_specs, check_vma=False)
-            except (AttributeError, TypeError):  # pragma: no cover
-                from jax.experimental.shard_map import shard_map as sm
-                return sm(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_rep=False)
+            return shard_map_compat(f, mesh=mesh, in_specs=in_specs,
+                                    out_specs=out_specs)
 
         def local(codes, pct, offsets, rows, labels, utt_ids, seeds):
             codes, pct = codes[0], pct[0]

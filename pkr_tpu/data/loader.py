@@ -147,29 +147,56 @@ class TrainLoader:
             if got is None:  # python fallback (pipes/gzip/no native lib)
                 out[:] = _random_crop_at(self.source.read(i), seq_len, pin).T
 
+        stop = threading.Event()
+
         def produce(q: "queue.Queue"):
+            def put(item) -> bool:
+                # bounded put that aborts when the consumer is gone — a
+                # plain q.put would block forever if the epoch generator is
+                # abandoned mid-epoch (exception in the train step), leaking
+                # one producer thread (+ its open ark fds) per aborted epoch
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 for b in range(n_batches):
+                    if stop.is_set():
+                        return
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     feat_dim = self.source.dims(int(sel[0]))[1]
                     feats = np.empty((len(sel), feat_dim, seq_len), np.float32)
                     for j, i in enumerate(sel):
                         load_one(int(i), feats[j])
-                    q.put((feats, self.labels[sel]))
-                q.put(None)
+                    if not put((feats, self.labels[sel])):
+                        return
+                put(None)
             except BaseException as exc:  # propagate to the training loop
-                q.put(exc)
+                put(exc)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while True:  # unblock a producer stuck in put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 def bucket_lengths(lengths: Sequence[int], quantum: int = 100,

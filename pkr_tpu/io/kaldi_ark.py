@@ -39,9 +39,14 @@ _UINT16_SCALE = np.float32(1.0 / 65535.0)
 
 
 class _PipeReader(io.RawIOBase):
-    """Wraps a subprocess stdout so closing it also reaps the process."""
+    """Wraps a subprocess stdout so closing it also reaps the process.
+
+    A nonzero exit raises at close — a failed pipe command ('gunzip -c
+    missing.gz |') must not look like an empty-but-valid archive (Kaldi's
+    kaldi-io raises the same way)."""
 
     def __init__(self, cmd: str):
+        self._cmd = cmd
         self._proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE)
         self._fd = self._proc.stdout
 
@@ -57,12 +62,19 @@ class _PipeReader(io.RawIOBase):
     def close(self) -> None:
         if not self.closed:
             self._fd.close()
-            self._proc.wait()
+            rc = self._proc.wait()
+            super().close()
+            # SIGPIPE (rc 141 / -13) just means WE stopped reading early
+            # (e.g. a partially-consumed ark generator) — not a failure
+            if rc not in (0, 141, -13):
+                raise IOError(
+                    f"input pipe command failed (rc={rc}): {self._cmd!r}")
         super().close()
 
 
 class _PipeWriter(io.RawIOBase):
     def __init__(self, cmd: str):
+        self._cmd = cmd
         self._proc = subprocess.Popen(cmd, shell=True, stdin=subprocess.PIPE)
         self._fd = self._proc.stdin
         self.mode = "wb"
@@ -76,7 +88,11 @@ class _PipeWriter(io.RawIOBase):
     def close(self) -> None:
         if not self.closed:
             self._fd.close()
-            self._proc.wait()
+            rc = self._proc.wait()
+            super().close()
+            if rc != 0:
+                raise IOError(
+                    f"output pipe command failed (rc={rc}): {self._cmd!r}")
         super().close()
 
 
@@ -471,31 +487,28 @@ def _float_to_uint16(values: np.ndarray, gmin: float, grange: float) -> np.ndarr
     return np.floor(f * 65535.0 + 0.499).astype(np.uint16)
 
 
-def compress_matrix(mat: np.ndarray) -> bytes:
-    """Encode float32 matrix as Kaldi CompressedMatrix format 1 bytes
-    (including the 'CM ' token, excluding the '\\0B' binary flag).
+def cm_quantize_columns(colmaj: np.ndarray, gmin: float, grange: float
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The CompressedMatrix format-1 per-column quantizer, shared by the
+    on-disk codec and the HBM feature cache (data/device_cache) so the two
+    can never diverge.
 
-    Column percentile selection mirrors CompressedMatrix::ComputeColHeader:
-    with n rows and q = n//4 the anchor order statistics are ranks
-    0, q, 3q, n-1 (for n >= 5), with monotonicity enforced between the four
-    uint16 codes.  Quantization to uint8 is the 3-piece inverse of
-    ``_chars_to_floats`` with round-half-up.
-    """
-    mat = np.asarray(mat, dtype=np.float32)
-    rows, cols = mat.shape
-    gmin = float(mat.min()) if mat.size else 0.0
-    grange = float(mat.max()) - gmin if mat.size else 1.0
-    if grange <= 0.0:
-        grange = 1.0
+    colmaj: (cols, rows) float32.  Returns (codes_u16 (cols, 4) '<u2',
+    pct (cols, 4) f32 percentile values, data (cols, rows) uint8).
 
-    colmaj = np.ascontiguousarray(mat.T)  # (cols, rows)
+    Anchor selection mirrors CompressedMatrix::ComputeColHeader: with n
+    rows and q = n//4 the order statistics at ranks 0, q, 3q, n-1 (n >= 5),
+    monotonicity enforced between the four uint16 codes; uint8 quantization
+    is the 3-piece inverse of ``_chars_to_floats`` with round-half-up."""
+    cols, rows = colmaj.shape
     srt = np.sort(colmaj, axis=1)
     if rows >= 5:
         q = rows // 4
         anchors = srt[:, [0, q, 3 * q, rows - 1]]
     else:
-        anchors = srt[:, [0, 0, rows - 1, rows - 1]] if rows > 0 else np.zeros((cols, 4), np.float32)
-    codes = _float_to_uint16(anchors, gmin, grange).astype(np.int64)  # (cols, 4)
+        anchors = (srt[:, [0, 0, rows - 1, rows - 1]] if rows > 0
+                   else np.zeros((cols, 4), np.float32))
+    codes = _float_to_uint16(anchors, gmin, grange).astype(np.int64)
     # enforce strictly increasing codes with headroom, as Kaldi does
     codes[:, 0] = np.minimum(codes[:, 0], 65532)
     codes[:, 1] = np.clip(codes[:, 1], codes[:, 0] + 1, 65533)
@@ -513,6 +526,21 @@ def compress_matrix(mat: np.ndarray) -> bytes:
     mid = np.clip(np.floor((v - p25) / np.maximum(p75 - p25, 1e-20) * 128.0 + 64.5), 64, 192)
     high = np.clip(np.floor((v - p75) / np.maximum(p100 - p75, 1e-20) * 63.0 + 192.5), 192, 255)
     data = np.where(v < p25, low, np.where(v < p75, mid, high)).astype(np.uint8)
+    return codes_u16, pct.astype(np.float32), data
+
+
+def compress_matrix(mat: np.ndarray) -> bytes:
+    """Encode float32 matrix as Kaldi CompressedMatrix format 1 bytes
+    (including the 'CM ' token, excluding the '\\0B' binary flag)."""
+    mat = np.asarray(mat, dtype=np.float32)
+    rows, cols = mat.shape
+    gmin = float(mat.min()) if mat.size else 0.0
+    grange = float(mat.max()) - gmin if mat.size else 1.0
+    if grange <= 0.0:
+        grange = 1.0
+
+    colmaj = np.ascontiguousarray(mat.T)  # (cols, rows)
+    codes_u16, _, data = cm_quantize_columns(colmaj, gmin, grange)
 
     out = bytearray()
     out += b"CM "

@@ -99,7 +99,7 @@ def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref,
 def _adapt_tile(tile, B, C):
     """Cap the class tile so the (B, tile) f32 working set (cos/p/a plus the
     (tile, D) weight blocks, double-buffered) stays inside ~16 MB of VMEM."""
-    cap = max(128, (1 << 18) // max(B, 1) * 128 // 128)
+    cap = max(128, (1 << 18) // max(B, 1) // 128 * 128)  # lane-aligned
     cap = max(128, min(tile, cap, -(-C // 128) * 128))
     return cap
 
@@ -161,7 +161,8 @@ def _bwd_kernel(labels_ref, e_ref, w_ref, lse_ref, g_ref,
     cos = jnp.dot(e, w_hat.T, preferred_element_type=jnp.float32)
 
     cos_m, sin_m, th, mm = _margin_consts(m)
-    sin = jnp.sqrt(jnp.clip(1.0 - cos * cos, 1e-12, 1.0))
+    sin2 = 1.0 - cos * cos
+    sin = jnp.sqrt(jnp.clip(sin2, 1e-12, 1.0))
     phi = cos * cos_m - sin * sin_m
     in_phi = cos - th > 0
     phi = jnp.where(in_phi, phi, cos - mm)
@@ -173,8 +174,12 @@ def _bwd_kernel(labels_ref, e_ref, w_ref, lse_ref, g_ref,
     p = jnp.where(valid, jnp.exp(z - lse_ref[:, 0:1]), 0.0)
 
     # dz/dcos: s off-target; s*phi' on target (phi' = cos_m + sin_m*cos/sin
-    # inside the margin branch, 1 outside)
-    dphi = jnp.where(in_phi, cos_m + sin_m * cos / sin, 1.0)
+    # inside the margin branch, 1 outside).  When the sin clip is active
+    # (cos→±1, sin2 < 1e-12) the dense path's autodiff passes NO gradient
+    # through sin — mirror that, or dphi spikes ~sin_m/1e-6 on saturated
+    # target cosines late in training.
+    dsin = jnp.where(sin2 >= 1e-12, -cos / sin, 0.0)
+    dphi = jnp.where(in_phi, cos_m - sin_m * dsin, 1.0)
     dz = jnp.where(is_tgt, s * dphi, s)
     a = (p - is_tgt.astype(jnp.float32)) * dz * g_ref[:]  # (B, tile)
     a = jnp.where(valid, a, 0.0)
@@ -305,14 +310,7 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
     """
     from jax.sharding import PartitionSpec as P
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
-        try:  # jax >= 0.8: jax.shard_map, replication check renamed
-            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_vma=False)
-        except (AttributeError, TypeError):  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map as sm
-            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                      check_rep=False)
+    from pkr_tpu.parallel.mesh import shard_map_compat as shard_map
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_model = axis_sizes.get("model", 1)

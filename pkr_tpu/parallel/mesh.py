@@ -46,6 +46,21 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def shard_map_compat(f, *, mesh: Mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (the replication-check kwarg was
+    renamed check_rep → check_vma and the symbol moved out of
+    jax.experimental); single home for the shim so a future rename is a
+    one-line fix."""
+    try:  # jax >= 0.8
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis over 'data'."""
     return NamedSharding(mesh, P("data"))

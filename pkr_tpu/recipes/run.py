@@ -91,15 +91,21 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             nonlocal key
             L, warp = bucket_key
             B = len(items)
-            wavs = np.zeros((B, L), np.float32)
-            lens = np.zeros((B,), np.int32)
+            # pad tail buckets to the full batch (zero rows, length 0,
+            # dropped at write-out): one compiled program per (L, warp)
+            # instead of one per ragged leftover size — each extra shape
+            # costs a full XLA compile through the remote-compile tunnel
+            Bp = batch if B < batch else B
+            wavs = np.zeros((Bp, L), np.float32)
+            lens = np.zeros((Bp,), np.int32)
             for b, (utt, w) in enumerate(items):
                 wavs[b, : len(w)] = w
                 lens[b] = len(w)
             if pools is not None and utt2aug:
                 # batched on-device mixing: ONE dispatch per bucket (the
                 # reference runs a wav-reverberate pipe per utterance)
-                kinds = [utt2aug.get(utt, "none") for utt, _ in items]
+                kinds = ([utt2aug.get(utt, "none") for utt, _ in items]
+                         + ["none"] * (Bp - B))
                 if any(k != "none" for k in kinds):
                     # device_out: the augmented batch feeds the frontend
                     # directly, no host round trip over the transfer link
@@ -189,6 +195,26 @@ def build_model(cfg_model, num_spk: int):
                         trunk=cfg_model.trunk, emb_dim=cfg_model.emb_dim)
 
 
+class _TileToBatch:
+    """Sampler wrapper: cycles a too-small split's indices up to one full
+    mesh-divisible batch (see the cv-loader comment in run_train)."""
+
+    def __init__(self, sampler, batch: int):
+        self._sampler, self._batch = sampler, batch
+
+    def __len__(self):
+        return max(len(self._sampler), self._batch)
+
+    def epoch_indices(self, epoch, seed, process_index=0, process_count=1):
+        import numpy as _np
+
+        idx = self._sampler.epoch_indices(epoch, seed, process_index,
+                                          process_count)
+        if 0 < len(idx) < self._batch:
+            idx = _np.resize(_np.asarray(idx), self._batch)
+        return idx
+
+
 def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     import jax
     import jax.numpy as jnp
@@ -222,6 +248,12 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         # the batch must stay divisible by the mesh's data axis
         batch = min(cfg.train.batch_size, len(sampler))
         batch = max(n_data, batch // n_data * n_data)
+        if split == "cv" and len(sampler) < batch:
+            # fewer cv utts than the mesh-divisible minimum (e.g. 5 utts on
+            # an 8-chip mesh): tile indices up to one full batch — a few
+            # double-counted utterances beat zero validation batches (which
+            # would pin acc1 at 0 and never write the 'best' checkpoint)
+            sampler = _TileToBatch(sampler, batch)
         if cfg.train.device_cache and split == "train" and isinstance(chunk, int):
             from pkr_tpu.data import DeviceCacheLoader, DeviceFeatureCache
 

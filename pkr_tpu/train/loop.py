@@ -178,6 +178,10 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
     def put(x):
         return jax.device_put(x, batch_shard) if batch_shard is not None else jnp.asarray(x)
 
+    # host-side mirror of state.step: int(state.step) would force a
+    # host-device sync on the just-dispatched step EVERY iteration,
+    # serializing the async pipeline for the whole run
+    host_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         lr = jnp.asarray(schedule(epoch), jnp.float32)
         meters = {k: AverageMeter(k) for k in ("loss", "acc1", "acc5", "time")}
@@ -186,11 +190,12 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
             if profile_dir and epoch == start_epoch and i == prof_window[0]:
                 prof.enter_context(profile_trace(profile_dir))
             state, metrics = train_step(state, put(feats), put(labels), lr)
+            host_step += 1
             if profile_dir and epoch == start_epoch and i + 1 == prof_window[1]:
                 jax.block_until_ready(metrics)
                 prof.close()
             if save_every_steps and on_step_save and \
-                    int(state.step) % save_every_steps == 0:
+                    host_step % save_every_steps == 0:
                 # preemption safety net (SURVEY §5: the reference had only
                 # per-epoch rank-0 saves); resume is epoch-granular but the
                 # weights survive a mid-epoch crash

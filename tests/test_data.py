@@ -1,5 +1,7 @@
 """Sampler and loader tests (datasets.py balancing semantics)."""
 
+import os
+import time
 import numpy as np
 import pytest
 
@@ -271,3 +273,27 @@ def test_extraction_drops_pad_rows():
     assert sorted(a) == sorted(mats)
     for u in mats:
         np.testing.assert_allclose(a[u], b[u], rtol=1e-5, atol=1e-6)
+
+
+def test_train_loader_abandoned_epoch_stops_producer(feat_dir):
+    """Breaking out of an epoch mid-iteration must terminate the producer
+    thread (a blocked q.put would leak one thread + its ark fds per
+    aborted epoch)."""
+    import threading
+    import gc
+
+    tmp_path, _ = feat_dir
+    src = FeatureSource(str(tmp_path / "f.scp"))
+    labels = [i % 3 for i in range(12)]
+    sampler = BalancedRepetitionSampler(src.utts, labels)
+    loader = TrainLoader(src, labels, sampler, batch_size=2, chunk=20, seed=0)
+    before = threading.active_count()
+    for _ in range(3):
+        gen = loader.epoch(0)
+        next(gen)  # consume one batch, abandon the rest
+        gen.close()
+    gc.collect()
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -63,6 +63,42 @@ def test_grad_with_margin_branch_hits():
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=5e-3, atol=1e-6)
 
 
+def test_grad_parity_at_saturated_cosine():
+    """cos(target) EXACTLY 1.0 (one-hot embedding = one-hot weight row):
+    sin2 = 0 activates the sqrt clip, where the dense autodiff passes no
+    gradient through sin; the flash backward must match instead of
+    producing a ~sin_m/1e-6 dphi spike."""
+    C, D = 32, 16
+    rng = np.random.default_rng(3)
+    w = np.asarray(rng.standard_normal((C, D)), np.float32)
+    w[5] = 0.0
+    w[5, 2] = 2.0  # normalizes to a one-hot
+    emb = np.zeros((4, D), np.float32)
+    emb[:, 2] = 1.0  # e_hat == w_hat[5] exactly → cos == 1.0 exactly
+    labels = jnp.asarray([5, 5, 7, 9])
+    emb, w = jnp.asarray(emb), jnp.asarray(w)
+
+    g_emb, g_w = jax.grad(
+        lambda e, w: flash_aam_loss(e, w, labels, 0.2, 30.0, 128, True),
+        argnums=(0, 1))(emb, w)
+    r_emb, r_w = jax.grad(
+        lambda e, w: reference_aam_loss(e, w, labels, 0.2, 30.0),
+        argnums=(0, 1))(emb, w)
+    assert np.isfinite(np.asarray(g_emb)).all()
+    np.testing.assert_allclose(np.asarray(g_emb), np.asarray(r_emb),
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(r_w),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_adapt_tile_lane_aligned():
+    from pkr_tpu.ops.flash_aam import _adapt_tile
+
+    for B in (8, 64, 96, 256, 768, 4096):
+        t = _adapt_tile(4096, B, 131072)
+        assert t % 128 == 0 and t >= 128, (B, t)
+
+
 def test_multi_tile_matches_single_tile():
     emb, w, labels = make(B=8, D=16, C=512, seed=3)
     a = flash_aam_loss(emb, w, labels, 0.2, 30.0, 128, True)

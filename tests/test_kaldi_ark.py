@@ -153,6 +153,28 @@ def test_pipe_reader(tmp_path):
     np.testing.assert_array_equal(d["u1"], m)
 
 
+def test_pipe_failure_raises(tmp_path):
+    """A failed pipe command must raise, not masquerade as an empty (or
+    truncated) archive; early-abandoned pipes (SIGPIPE) stay silent."""
+    import pytest
+
+    with pytest.raises(IOError, match="pipe command failed"):
+        dict(ka.read_mat_ark(f"cat {tmp_path}/does_not_exist.ark |"))
+    with pytest.raises(IOError, match="pipe command failed"):
+        fd = ka.open_or_fd("| exit 3", mode="wb")
+        fd.write(b"x")
+        fd.close()
+    # legitimate early stop: consume one entry of a two-entry piped ark
+    m = np.ones((3, 4), dtype=np.float32)
+    p = tmp_path / "two.ark"
+    with ka.ArkScpWriter(str(p)) as w:
+        w.write("u1", m)
+        w.write("u2", m)
+    it = ka.read_mat_ark(f"cat {p} |")
+    next(it)
+    it.close()  # no IOError
+
+
 def test_gzip_scp(tmp_path):
     import gzip
 
