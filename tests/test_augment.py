@@ -73,6 +73,7 @@ def test_wav_augmenter_policy():
     rng = np.random.default_rng(3)
     wavs = rng.standard_normal((4, 3000)).astype(np.float32) * 100
     lengths = np.array([3000, 2500, 3000, 1000])
+    wavs[3, 1000:] = 0.0  # true silence beyond the row's length
     noise = (rng.standard_normal((2, 1000)).astype(np.float32) * 50,
              np.array([1000, 800]))
     rirs = (np.concatenate([np.ones((1, 1), np.float32),
@@ -82,8 +83,9 @@ def test_wav_augmenter_policy():
     out = aug(wavs.copy(), lengths)
     assert out.shape == wavs.shape
     assert np.isfinite(out).all()
-    # padded tails stay silent for augmented rows
-    assert np.abs(out[3, 1000:]).max() <= np.abs(wavs[3, 1000:]).max() + 1e-5
+    # padded tails stay EXACTLY silent for augmented rows (the mask must
+    # zero additive noise past the row's true length, not just attenuate)
+    assert np.abs(out[3, 1000:]).max() < 1e-5
 
 
 def test_tile_pool_circular_windows():

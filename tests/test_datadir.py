@@ -52,7 +52,11 @@ def test_assign_spk_ids_and_cv_split():
 
 def test_filter_min_frames():
     d = make_dir()
-    d.tables["utt2num_frames"] = {u: str(100 + 50 * i) for i, u in enumerate(d.utts)}
+    frames = {u: 100 + 50 * i for i, u in enumerate(d.utts)}
+    d.tables["utt2num_frames"] = {u: str(n) for u, n in frames.items()}
     out = d.filter_min_frames(200)
-    assert all(int(d.tables["utt2num_frames"][u]) >= 200 for u in out.utts)
+    # exact retention: >= is inclusive (the 200-frame boundary utt stays),
+    # and nothing above the threshold is over-filtered
+    assert sorted(out.utts) == sorted(u for u, n in frames.items() if n >= 200)
+    assert out.num_utts == 10
     assert out.validate() == []

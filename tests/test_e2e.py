@@ -155,7 +155,6 @@ def test_run_features_with_augmentation(tmp_path):
     n_sp = len(read_vec_flt(vad_scp[f"sp0.9-{base}"].strip()))
     assert abs(n_sp - round(n_base / 0.9)) <= 2, (n_base, n_sp)
     # augmented copy differs from the clean one
-    kind = sp["utt2aug"].get(f"{base}-noise") or None
     for u in sp.utts:
         if u.startswith(base + "-"):
             a, b = feats[u], feats[base]

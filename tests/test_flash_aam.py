@@ -19,7 +19,7 @@ def make(B=16, D=32, C=50, seed=0):
     return emb, w, labels
 
 
-@pytest.mark.parametrize("C,tile", [(50, 128), (300, 128), (257, 128)])
+@pytest.mark.parametrize("C,tile", [(50, 128), (300, 256), (257, 128)])
 def test_value_parity(C, tile):
     emb, w, labels = make(C=C)
     got = flash_aam_loss(emb, w, labels, 0.2, 30.0, tile, True)

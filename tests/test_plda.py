@@ -39,12 +39,11 @@ def test_lda_improves_separation():
     X = np.stack(list(proj.values()))
     assert np.isfinite(X).all()
     # between-class spread should dominate within-class in the top dims
-    spks = [utt2spk[k] for k in proj]
     mus = {}
     for k, v in proj.items():
         mus.setdefault(utt2spk[k], []).append(v)
     mus = {s: np.mean(v, axis=0) for s, v in mus.items()}
-    within = np.mean([np.var([proj[k][0] - mus[utt2spk[k]][0] for k in proj])])
+    within = np.var([proj[k][0] - mus[utt2spk[k]][0] for k in proj])
     between = np.var([m[0] for m in mus.values()])
     assert between > within
 

@@ -118,7 +118,7 @@ def test_run_score_backends(tmp_path):
     trials = tmp_path / "trials"
     with open(trials, "w") as f:
         for e in enroll:
-            for t, in zip(test):
+            for t in test:
                 tgt = "target" if t.startswith(e + "-") else "nontarget"
                 f.write(f"{e} {t} {tgt}\n")
     write_text_vec_ark(str(tmp_path / "enroll.iv"), enroll)

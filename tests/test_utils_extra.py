@@ -33,9 +33,6 @@ def test_run_jobs_fail_if_any_fail(tmp_path):
     assert "boom" in open(tmp_path / "job.3.log").read()
 
 
-_attempts_path = None
-
-
 def test_run_jobs_retries(tmp_path):
     marker = tmp_path / "count"
     marker.write_text("0")
