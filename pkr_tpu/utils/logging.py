@@ -76,3 +76,16 @@ def profile_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compile cache (env-var spellings are ignored by this
+    jax build, so set the config keys).  One home for the knob — bench.py,
+    the graft entry and every tools/ script call this."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # very old jax: cache just stays off
+        pass

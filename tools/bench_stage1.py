@@ -85,8 +85,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from pkr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from pkr_tpu.io.datadir import DataDir
     from pkr_tpu.recipes.augment_dir import augment_data_dir

@@ -83,8 +83,11 @@ def run_cli_train(n_spk: int, root: str, epochs: int = 4):
     # the loop's time meter: "time <val> (<avg>)" per print_freq window; the
     # LAST window of the run is steady state (first includes compiles)
     vals = re.findall(r"time ([0-9.]+) \(", buf.getvalue())
-    step_ms = float(vals[-1]) * 1000 if vals else float("nan")
-    return step_ms, wall
+    if not vals:
+        raise RuntimeError("no 'time' meter lines captured — did the train "
+                           "loop's progress format change, or print_freq "
+                           "exceed the step count?")
+    return float(vals[-1]) * 1000, wall
 
 
 def cpu_mesh_demo() -> str:
@@ -121,20 +124,33 @@ print("mesh-train OK devices=", jax.device_count())
 
 
 def main():
-    import jax
+    import argparse
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    ap = argparse.ArgumentParser()
+    def positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(f"speaker count must be >= 1: {v}")
+        return n
+
+    ap.add_argument("--speakers", type=positive, nargs="+",
+                    default=[7325, 500_000])
+    ap.add_argument("--skip-mesh", action="store_true")
+    args = ap.parse_args()
+
+    from pkr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     root = tempfile.mkdtemp(prefix="bigspk_")
 
     rows = []
-    for n_spk in (7325, 500_000):
+    for n_spk in args.speakers:
         step_ms, wall = run_cli_train(n_spk, root)
         rows.append((n_spk, step_ms, wall))
         print(f"== {n_spk} speakers: {step_ms:.1f} ms/step "
               f"(wall {wall:.0f}s incl. compile)")
-    mesh_line = cpu_mesh_demo()
-    print(mesh_line)
+    if not args.skip_mesh:
+        print(cpu_mesh_demo())
     print()
     print("| speakers | flash-AAM train step (B=256, CLI, device cache) |")
     print("|---|---|")

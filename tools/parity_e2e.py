@@ -265,8 +265,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from pkr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     import tempfile
 
@@ -277,8 +278,6 @@ def main():
         rows.append(run_once(root))
 
     r = rows[0]
-    (eer_t, dcf1_t, dcf2_t, ci_t) = (r["eer_t"], r["dcf1_t"], r["dcf2_t"], r["ci_t"])
-    (eer_p, dcf1_p, dcf2_p, ci_p) = (r["eer_p"], r["dcf1_p"], r["dcf2_p"], r["ci_p"])
     s_len, t_torch, t_pkr, xs_len = r["n_trials"], r["t_torch"], r["t_pkr"], r["steps"]
 
     lines = [

@@ -96,8 +96,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from pkr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     import dataclasses
 
