@@ -15,8 +15,7 @@
 //    whole matrix and slicing (what the reference's reader must do);
 //  * output written transposed (feat-major, (F, T)) directly into the
 //    caller's batch buffer — the layout the model consumes
-//    (datasets.py:68's chunk_mat.T) with zero intermediate copies;
-//  * a batched entry point that loops utterances with one open fd each.
+//    (datasets.py:68's chunk_mat.T) with zero intermediate copies.
 //
 // Format reference for CM decode semantics: compressed-matrix.h (documented
 // in /root/reference/kaldi_io.py:427-460).  Build: make -C native.
@@ -54,10 +53,6 @@ struct Reader {
     pos += n;
     return true;
   }
-  bool skip(long n) {
-    pos += n;
-    return true;
-  }
 };
 
 struct MatHeader {
@@ -80,6 +75,9 @@ bool parse_header(Reader& r, MatHeader* h) {
     int32_t rows, cols;
     if (!r.read(&t1, 1) || t1 != 4 || !r.read(&rows, 4)) return false;
     if (!r.read(&t1, 1) || t1 != 4 || !r.read(&cols, 4)) return false;
+    // negative dims from a corrupt header would otherwise reach new[] as a
+    // huge size_t and abort the process via bad_alloc across the C boundary
+    if (rows < 0 || cols < 0) return false;
     h->rows = rows;
     h->cols = cols;
     h->data_pos = r.pos;
@@ -90,6 +88,7 @@ bool parse_header(Reader& r, MatHeader* h) {
     int32_t rows, cols;
     if (!r.read(&h->gmin, 4) || !r.read(&h->grange, 4)) return false;
     if (!r.read(&rows, 4) || !r.read(&cols, 4)) return false;
+    if (rows < 0 || cols < 0) return false;
     h->rows = rows;
     h->cols = cols;
     h->data_pos = r.pos;
@@ -169,18 +168,25 @@ int pkr_read_crop_t(const char* path, long offset, int row_start, int n_rows,
     const long data0 = r.pos;
     uint8_t* colbuf = new uint8_t[(size_t)R];
     for (int c = 0; c < C; ++c) {
-      r.pos = data0 + (long)c * R;
-      if (!r.read(colbuf, (size_t)R)) {
-        delete[] hdrs;
-        delete[] colbuf;
-        return -4;
-      }
-      // gather the crop (with cyclic tiling) into a contiguous run
       float* dst = out + (size_t)c * n_rows;
       if (row_start + n_rows <= R) {
-        cm_decode_col(colbuf + row_start, hdrs + 4 * c, h.gmin, h.grange,
-                      n_rows, dst);
+        // the point of the crop-aware path: pread ONLY the crop's bytes —
+        // a 200-frame crop of a 1000-frame column touches 1/5 of the data
+        r.pos = data0 + (long)c * R + row_start;
+        if (!r.read(colbuf, (size_t)n_rows)) {
+          delete[] hdrs;
+          delete[] colbuf;
+          return -4;
+        }
+        cm_decode_col(colbuf, hdrs + 4 * c, h.gmin, h.grange, n_rows, dst);
       } else {
+        // cyclic tiling wraps the column: the whole column is needed
+        r.pos = data0 + (long)c * R;
+        if (!r.read(colbuf, (size_t)R)) {
+          delete[] hdrs;
+          delete[] colbuf;
+          return -4;
+        }
         for (int k = 0; k < n_rows; ++k) {
           const int rr = (row_start + k) % R;
           cm_decode_col(colbuf + rr, hdrs + 4 * c, h.gmin, h.grange, 1,
@@ -264,20 +270,6 @@ int pkr_read_mat(const char* path, long offset, float* out, long capacity,
   }
   delete[] buf;
   return 0;
-}
-
-// Batched crops: n utterances → out (n, cols, n_rows) contiguous.
-// paths/offsets/row_starts are parallel arrays.  Returns the index of the
-// first failing utterance, or -1 if all succeeded.
-int pkr_read_crops_t(const char** paths, const long* offsets,
-                     const int* row_starts, int n, int n_rows, int cols,
-                     float* out) {
-  for (int i = 0; i < n; ++i) {
-    int rc = pkr_read_crop_t(paths[i], offsets[i], row_starts[i], n_rows, cols,
-                             out + (size_t)i * cols * n_rows);
-    if (rc != 0) return i;
-  }
-  return -1;
 }
 
 }  // extern "C"

@@ -57,12 +57,21 @@ class FeatureSource:
         """Materialize all matrices (tiny corpora / benchmarks)."""
         self._cache = {i: self.read(i) for i in range(len(self.rx))}
 
+    def _demote(self, i: int) -> None:
+        """Entry i turned out not to be native-decodable (ascii payload,
+        format the fast path doesn't cover): route it to the python codec
+        permanently instead of raising on every touch."""
+        self._split[i] = None
+
     def read(self, i: int) -> np.ndarray:
         if self._cache is not None:
             return self._cache[i]
         if self._native is not None and self._split[i] is not None:
             path, off = self._split[i]
-            return self._native.read_mat(path, off)
+            try:
+                return self._native.read_mat(path, off)
+            except IOError:
+                self._demote(i)
         return kaldi_ark.read_mat(self.rx[i])
 
     def dims(self, i: int) -> Tuple[int, int]:
@@ -71,9 +80,13 @@ class FeatureSource:
                 self._dims[i] = self._cache[i].shape
             elif self._native is not None and self._split[i] is not None:
                 path, off = self._split[i]
-                self._dims[i] = self._native.mat_dims(path, off)
-            else:
-                self._dims[i] = kaldi_ark.read_mat(self.rx[i]).shape
+                try:
+                    self._dims[i] = self._native.mat_dims(path, off)
+                except IOError:
+                    self._demote(i)
+                    self._dims[i] = kaldi_ark.read_mat_dims(self.rx[i])
+            else:  # header-only: no full decode just for a shape
+                self._dims[i] = kaldi_ark.read_mat_dims(self.rx[i])
         return self._dims[i]
 
     def read_crop_t(self, i: int, row_start: int, n_rows: int,
@@ -83,7 +96,12 @@ class FeatureSource:
             return None
         path, off = self._split[i]
         _, cols = self.dims(i)
-        return self._native.read_crop_t(path, off, row_start, n_rows, cols, out)
+        try:
+            return self._native.read_crop_t(path, off, row_start, n_rows,
+                                            cols, out)
+        except IOError:
+            self._demote(i)
+            return None
 
 
 def _random_crop_at(mat: np.ndarray, seq_len: int, pin: int) -> np.ndarray:
@@ -141,8 +159,11 @@ class TrainLoader:
 
         def load_one(i: int, out: np.ndarray) -> None:
             rows, _ = self.source.dims(i)
-            hi = max(rows - seq_len + 1, 1)
-            pin = int(rng.integers(0, hi))
+            # utterances shorter than the crop tile cyclically; randomize
+            # the phase within the cycle (pin in [0, rows)) — a fixed pin=0
+            # would repeat the identical crop every epoch
+            hi = rows - seq_len + 1 if rows >= seq_len else rows
+            pin = int(rng.integers(0, max(hi, 1)))
             got = self.source.read_crop_t(i, pin, seq_len, out)
             if got is None:  # python fallback (pipes/gzip/no native lib)
                 out[:] = _random_crop_at(self.source.read(i), seq_len, pin).T

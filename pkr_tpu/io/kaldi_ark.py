@@ -306,6 +306,33 @@ def read_mat(file_or_fd) -> np.ndarray:
             fd.close()
 
 
+def read_mat_dims(file_or_fd) -> Tuple[int, int]:
+    """(rows, cols) from the header only — no payload decode.  Binary FM/DM/
+    CM read ~20 bytes; ascii matrices fall back to a full read (rare: the
+    feature plane writes binary)."""
+    fd = open_or_fd(file_or_fd)
+    try:
+        head = fd.read(2)
+        if head != b"\x00B":
+            assert head == b" [", f"bad matrix start {head!r}"
+            m = _read_mat_ascii(fd)
+            return m.shape
+        token = fd.read(3)
+        if token.startswith(b"CM"):
+            if token != b"CM ":
+                raise ValueError(f"unsupported compression {token!r}")
+            _, _, rows, cols = struct.unpack("<ffii", fd.read(16))
+            return rows, cols
+        if token in (b"FM ", b"DM "):
+            t1, rows, t2, cols = struct.unpack("<bibi", fd.read(10))
+            assert t1 == 4 and t2 == 4
+            return rows, cols
+        raise ValueError(f"unknown matrix header {token!r}")
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
 def _read_mat_binary(fd: BinaryIO) -> np.ndarray:
     token = fd.read(3)
     if token.startswith(b"CM"):

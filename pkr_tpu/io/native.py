@@ -28,12 +28,21 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "pkr_ark.cpp")
     if not os.path.exists(src):
         return False
+    # compile to a per-pid temp path and rename into place: concurrent
+    # first-users (pytest workers, multiple trainers on one host) would
+    # otherwise race on the -o target and dlopen a half-written .so
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     try:
-        subprocess.run(["g++", "-O3", "-march=native", "-ffp-contract=off", "-fPIC", "-std=c++17",
-                        "-shared", "-o", _SO_PATH, src],
+        subprocess.run(["g++", "-O3", "-march=native", "-ffp-contract=off",
+                        "-fPIC", "-std=c++17", "-shared", "-o", tmp, src],
                        check=True, capture_output=True)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -70,14 +79,18 @@ def available() -> bool:
 
 
 def split_rxspec(rx: str) -> Optional[Tuple[str, int]]:
-    """'path:offset' or plain path → (path, offset); None for pipes/gzip
-    (those stay on the python reader)."""
+    """'path:offset' or plain path → (path, offset); None for anything the
+    native reader cannot handle (pipes, gzip — with or without an offset —
+    and 'ark:'/'scp:' prefixed specs), which stays on the python codec."""
     rx = rx.strip()
     if rx.endswith("|") or rx.startswith("|") or rx.endswith(".gz"):
         return None
+    head, sep, rest = rx.partition(":")
+    if sep and head.split(",")[0] in ("ark", "scp"):
+        return None  # prefixed spec: open_or_fd semantics, python path
     head, sep, tail = rx.rpartition(":")
     if sep and tail.isdigit() and head:
-        return head, int(tail)
+        return (None if head.endswith(".gz") else (head, int(tail)))
     return rx, 0
 
 

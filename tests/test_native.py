@@ -98,3 +98,62 @@ def test_feature_source_native_path(ark):
         assert src.dims(i) == ref.shape
         crop = src.read_crop_t(i, 3, 20)
         np.testing.assert_array_equal(crop, ref[3:23].T)
+
+
+def test_split_rxspec_exotic_forms():
+    # prefixed and gzip-with-offset specs must stay on the python codec
+    assert native.split_rxspec("ark:/a/b.ark:123") is None
+    assert native.split_rxspec("scp,o,cs:/a/b.scp") is None
+    assert native.split_rxspec("/a/b.ark.gz:123") is None
+
+
+def test_feature_source_falls_back_on_non_native_entry(tmp_path):
+    """An scp whose entry the native reader cannot decode (ascii matrix)
+    must transparently demote to the python codec, not raise."""
+    from pkr_tpu.data.loader import FeatureSource
+
+    m = np.arange(12, dtype=np.float32).reshape(4, 3)
+    ark = tmp_path / "t.ark"
+    with open(ark, "wb") as f:
+        kaldi_ark.write_mat(f, m, key="u1", text=True)
+    # point at the ascii payload (right after "u1 ")
+    scp = tmp_path / "t.scp"
+    scp.write_text(f"u1 {ark}:3\n")
+    src = FeatureSource(str(scp))
+    if src._native is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    assert src.dims(0) == (4, 3)
+    np.testing.assert_array_equal(src.read(0), m)
+    assert src._split[0] is None  # demoted after the first failure
+
+
+def test_read_mat_dims_header_only(tmp_path):
+    m = np.random.default_rng(0).standard_normal((37, 11)).astype(np.float32)
+    p = tmp_path / "m.ark"
+    kaldi_ark.write_mat(str(p), m)
+    assert kaldi_ark.read_mat_dims(str(p)) == (37, 11)
+    pc = tmp_path / "c.ark"
+    kaldi_ark.write_mat(str(pc), m, compress=True)
+    assert kaldi_ark.read_mat_dims(str(pc)) == (37, 11)
+
+
+def test_short_utterance_crop_phase_randomized(ark):
+    """Utterances shorter than the crop must get a random tiling phase, not
+    the same pin=0 crop every epoch."""
+    from pkr_tpu.data.loader import FeatureSource, TrainLoader
+    from pkr_tpu.data.sampler import BalancedRepetitionSampler
+
+    mats, plain_scp, comp_scp = ark
+    src = FeatureSource(str(comp_scp))
+    labels = [0] * len(src)
+    sampler = BalancedRepetitionSampler(src.utts, labels)
+    seq_len = max(r for r, _ in (src.dims(i) for i in range(len(src)))) + 13
+    loader = TrainLoader(src, labels, sampler, batch_size=len(src),
+                         chunk=seq_len, seed=0)
+    firsts = set()
+    for epoch in range(6):
+        feats, _ = next(iter(loader.epoch(epoch)))
+        firsts.add(feats.tobytes())
+    assert len(firsts) > 1, "identical crops across 6 epochs"
