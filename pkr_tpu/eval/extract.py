@@ -105,15 +105,18 @@ def extract_embeddings(model: SpeakerModel, variables, loader, mesh=None
 
 def warmup_buckets(model: SpeakerModel, variables, feat_dim: int = 40,
                    batch_size: int = 8, quantum: int = 100,
-                   max_len: int = 2000) -> int:
+                   max_len: int = 2000, mesh=None) -> int:
     """Precompile every (batch, bucket-length) extraction executable so the
     first real corpus pass hits no compile stalls (useful for serving and
     for amortizing the remote-compile latency of fresh environments).
-    Returns the number of programs compiled."""
-    embed = make_embed_fn(model, variables)
+    Pass the same `mesh` the extraction will use — sharded inputs compile
+    different executables, so an unsharded warmup would not help a
+    multi-chip pass.  Returns the number of programs compiled."""
+    embed = make_embed_fn(model, variables, mesh=mesh)
+    xfer = jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32
     n = 0
     for L in range(quantum, max_len + 1, quantum):
-        feats = jnp.zeros((batch_size, feat_dim, L), jnp.float32)
+        feats = jnp.zeros((batch_size, feat_dim, L), xfer)
         mask = jnp.ones((batch_size, L), bool)
         jax.block_until_ready(embed(feats, mask))
         n += 1

@@ -135,9 +135,14 @@ def adaptive_snorm(scores: np.ndarray, trials: Sequence[Tuple[str, str]],
 
 
 def read_trials(path: str) -> Tuple[List[Tuple[str, str]], List[int]]:
-    """'<enroll> <test> target|nontarget' → (pairs, 0/1 labels)."""
+    """'<enroll> <test> target|nontarget' → (pairs, 0/1 labels).
+
+    Labeled and unlabeled lines must not mix: a partially-labeled file
+    would silently misalign labels[i] with pairs[i] for every line after
+    the first unlabeled one (raise instead).  A fully unlabeled file (a
+    pairs-only scoring list) returns labels == []."""
     pairs, labels = [], []
-    for line in open(path):
+    for ln, line in enumerate(open(path), 1):
         parts = line.split()
         if not parts:
             continue
@@ -145,6 +150,14 @@ def read_trials(path: str) -> Tuple[List[Tuple[str, str]], List[int]]:
         pairs.append((a, b))
         if len(parts) > 2:
             labels.append(1 if parts[2] == "target" else 0)
+        elif labels:
+            raise ValueError(
+                f"{path}:{ln}: unlabeled trial after labeled ones — "
+                "labels would misalign with pairs")
+    if labels and len(labels) != len(pairs):
+        raise ValueError(
+            f"{path}: {len(pairs)} pairs but {len(labels)} labels "
+            "(mixed labeled/unlabeled lines)")
     return pairs, labels
 
 

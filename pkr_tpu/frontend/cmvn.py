@@ -21,12 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("window", "center", "norm_vars"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "center", "norm_vars",
+                                    "min_window"))
 def sliding_cmvn(feats: jnp.ndarray, mask: jnp.ndarray, window: int = 300,
-                 center: bool = True, norm_vars: bool = False) -> jnp.ndarray:
+                 center: bool = True, norm_vars: bool = False,
+                 min_window: int = 100) -> jnp.ndarray:
     """(B, T, F) features + (B, T) mask → mean-normalized (B, T, F).
 
     Padded frames are ignored by the statistics and returned as zeros.
+
+    center=False follows Kaldi's causal placement: frame t averages
+    [t-window, t+1) (window+1 frames in steady state — Kaldi's documented
+    off-by-one), and the first frames look ahead to at least `min_window`
+    frames (--min-window, default 100: 'adds latency only at start').
     """
     if feats.ndim == 2:
         feats, mask = feats[None], mask[None]
@@ -53,8 +61,9 @@ def sliding_cmvn(feats: jnp.ndarray, mask: jnp.ndarray, window: int = 300,
         start, end = start - over, end - over
         start = jnp.maximum(start, 0)
     else:
-        end = t + 1
-        start = jnp.maximum(0, end - window)
+        start = jnp.maximum(0, t - window)
+        end = jnp.maximum(t + 1, jnp.minimum(min_window,
+                                             n_valid.astype(jnp.int32)))
     end = jnp.minimum(end, n_valid.astype(jnp.int32))
     start = jnp.minimum(start, end)
 

@@ -259,13 +259,22 @@ def frame_signal(wav: jnp.ndarray, length: jnp.ndarray, cfg: FbankConfig,
         base = jnp.concatenate([wav, jnp.zeros((win + shift,), wav.dtype)])
     else:
         pad = win // 2 - shift // 2
-        start_mirror = wav[:pad][::-1]
-        base = jnp.concatenate(
-            [start_mirror, wav, jnp.zeros((win + shift,), wav.dtype)])
+        if pad >= 0:
+            start_mirror = wav[:pad][::-1]
+            base = jnp.concatenate(
+                [start_mirror, wav, jnp.zeros((win + shift,), wav.dtype)])
+        else:
+            # frame_shift > frame_length: the reference TRIMS the front
+            # (kaldi.py:74-77 waveform[-pad:]) — a python slice here since
+            # pad is static; wav[:pad][::-1] would instead prepend almost
+            # the whole reversed waveform and silently corrupt every frame
+            base = jnp.concatenate(
+                [wav[-pad:], jnp.zeros((win + shift,), wav.dtype)])
         # end mirror: positions [n, n+win) read wav[2n-1-i] = flip(wav[n-win:n])
         end_patch = jax.lax.dynamic_slice(
             wav, (jnp.maximum(length - win, 0),), (win,))[::-1]
-        base = jax.lax.dynamic_update_slice(base, end_patch, (pad + length,))
+        base = jax.lax.dynamic_update_slice(
+            base, end_patch, (jnp.maximum(pad + length, 0),))
 
     n_rows = -(-win // shift)  # ceil
     total_rows = max_frames + n_rows

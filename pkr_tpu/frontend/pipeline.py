@@ -69,7 +69,9 @@ def wav_to_train_feats(wav: jnp.ndarray, length: jnp.ndarray,
         x = x + fb_cfg.dither * jax.random.normal(k_vad, x.shape, jnp.float32)
     if fb_cfg.remove_dc_offset:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
-    loge = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), float(np.finfo(np.float32).eps)))
+    from pkr_tpu.frontend.features import _log_energy
+
+    loge = _log_energy(x, fb_cfg)  # honors energy_floor, one implementation
 
     vad = energy_vad(loge, mask, cfg.vad)
     feats = sliding_cmvn(mel, mask, cfg.cmn_window, cfg.cmn_center, cfg.cmn_norm_vars)

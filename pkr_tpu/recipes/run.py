@@ -398,11 +398,17 @@ def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
                                        plda_scores, train_plda)
 
         assert cohort_vecs and cohort_utt2spk, "plda needs cohort ark + utt2spk"
+        # run.sh:332 pins --total-covariance-factor=0.0 (pure within-class
+        # whitening), not ivector-compute-lda's 0.1 default
         lda = compute_lda(cohort_vecs, cohort_utt2spk, dim=min(
-            cfg.eval.lda_dim, len(next(iter(cohort_vecs.values())))))
+            cfg.eval.lda_dim, len(next(iter(cohort_vecs.values())))),
+            total_covariance_factor=0.0)
 
         def prep(vs):
-            return {k: length_normalize(lda.apply(v - mean)) for k, v in vs.items()}
+            # lda.apply already centers on the cohort mean (the
+            # ivector-subtract-global-mean step, run.sh:332-340) — passing
+            # v - mean here would subtract it twice
+            return {k: length_normalize(lda.apply(v)) for k, v in vs.items()}
 
         model = train_plda(prep(cohort_vecs), cohort_utt2spk)
         scores = plda_scores(model, prep(enroll), prep(test), pairs)

@@ -16,6 +16,7 @@ from pkr_tpu.eval.scoring import (
     cosine_scores,
     global_mean,
     pooled_speaker_means,
+    read_trials,
     speaker_means,
 )
 
@@ -220,3 +221,15 @@ def test_scoring_at_voxceleb_e_scale():
     stats = cohort_topk_stats({k: vecs[k] for k in list(vecs)[:3000]},
                               cohort, topk=50)
     assert len(stats) == 3000
+
+
+def test_read_trials_rejects_partial_labels(tmp_path):
+    p = tmp_path / "trials"
+    p.write_text("e1 t1 target\ne2 t2\n")
+    with pytest.raises(ValueError, match="unlabeled trial"):
+        read_trials(str(p))
+    # fully unlabeled pairs-only file is fine
+    p2 = tmp_path / "pairs"
+    p2.write_text("e1 t1\ne2 t2\n")
+    pairs, labels = read_trials(str(p2))
+    assert pairs == [("e1", "t1"), ("e2", "t2")] and labels == []

@@ -241,6 +241,58 @@ def test_sliding_cmvn_matches_bruteforce():
     assert np.abs(np.asarray(got2[0])[100:]).sum() == 0
 
 
+def test_sliding_cmvn_noncenter_matches_kaldi_bruteforce():
+    """center=False: Kaldi's causal window is [t-W, t+1) (W+1 frames in
+    steady state) with min-window=100 look-ahead at the start (a literal
+    transcription of SlidingWindowCmnInternal's placement)."""
+    rng = np.random.default_rng(9)
+    T, F, W, MINW = 520, 5, 300, 100
+    x = rng.standard_normal((T, F)).astype(np.float32)
+
+    def brute(x):
+        T = len(x)
+        out = np.zeros_like(x)
+        for t in range(T):
+            start = max(0, t - W)
+            end = min(T, max(t + 1, min(MINW, T)))
+            out[t] = x[t] - x[start:end].mean(axis=0)
+        return out
+
+    got = sliding_cmvn(jnp.asarray(x), jnp.ones(T, bool), W, center=False)
+    np.testing.assert_allclose(np.asarray(got[0]), brute(x),
+                               rtol=1e-4, atol=1e-4)
+    # steady-state window really is W+1 frames
+    t = 400
+    manual = x[t] - x[t - W:t + 1].mean(axis=0)
+    np.testing.assert_allclose(np.asarray(got[0])[t], manual,
+                               rtol=1e-4, atol=1e-4)
+    # frame 0 is NOT zero (it sees min_window frames, not just itself)
+    assert np.abs(np.asarray(got[0])[0]).sum() > 1e-3
+
+
+def test_frame_signal_negative_pad_trims_front():
+    """frame_shift > frame_length (pad < 0): the reference trims the front
+    of the waveform (kaldi.py:74-77), it does not mirror."""
+    from pkr_tpu.frontend.features import frame_signal
+
+    cfg = FbankConfig(frame_length_ms=25.0, frame_shift_ms=30.0)
+    assert cfg.window_size // 2 - cfg.window_shift // 2 < 0
+    rng = np.random.default_rng(10)
+    n = 16000
+    wav = rng.standard_normal(n).astype(np.float32)
+    frames, mask = frame_signal(jnp.asarray(wav), jnp.asarray(n), cfg)
+    pad = cfg.window_size // 2 - cfg.window_shift // 2
+    shift, win = cfg.window_shift, cfg.window_size
+    nf = int(mask.sum())
+    assert nf > 2
+    trimmed = wav[-pad:]
+    for t in range(nf - 1):  # last frame reads the end mirror; skip it
+        ref = trimmed[t * shift:t * shift + win]
+        if len(ref) < win:
+            break
+        np.testing.assert_array_equal(np.asarray(frames)[t], ref)
+
+
 def test_select_voiced_compacts():
     T, F = 10, 3
     feats = np.arange(T * F, dtype=np.float32).reshape(1, T, F)
