@@ -18,7 +18,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pkr_tpu.models.resnet import conv_init
+from pkr_tpu.models.resnet import conv_init, zero_time_pad
 
 
 class DenseLayer(nn.Module):
@@ -27,7 +27,7 @@ class DenseLayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, n_valid=None):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.relu(y)
@@ -36,6 +36,9 @@ class DenseLayer(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.relu(y)
+        # the only time-mixing op: its edge must read zeros, not BN-biased
+        # padded columns, or bucketed != exact-length (see resnet.py)
+        y = zero_time_pad(y, n_valid)
         y = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, kernel_init=conv_init)(y)
         return jnp.concatenate([x, y], axis=-1)
@@ -63,8 +66,17 @@ class DenseNet(nn.Module):
     bn_size: int = 4
     dtype: Any = jnp.bfloat16
 
+    @staticmethod
+    def valid_out_frames(n):
+        """ceil-div-2 stem conv, then 3 floor-div-2 VALID avg-pool
+        transitions."""
+        n = (n + 1) // 2
+        for _ in range(3):
+            n = n // 2
+        return jnp.maximum(n, 1) if hasattr(n, "shape") else max(int(n), 1)
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         if x.ndim == 3:
             x = x[..., None]  # (B, F, T, 1)
         x = x.astype(self.dtype)
@@ -74,15 +86,21 @@ class DenseNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)
+        n_valid = None
+        if mask is not None:  # stem is ceil-div-2 on the time axis
+            n_valid = (jnp.sum(mask.astype(jnp.int32), axis=-1) + 1) // 2
         n_feats = self.num_init_features
         for i, n_layers in enumerate(self.block_config):
             for j in range(n_layers):
                 x = DenseLayer(self.growth_rate, self.bn_size, self.dtype,
-                               name=f"block{i + 1}_layer{j + 1}")(x, train)
+                               name=f"block{i + 1}_layer{j + 1}")(x, train,
+                                                                  n_valid)
             n_feats += n_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 n_feats //= 2
                 x = Transition(n_feats, self.dtype, name=f"transition{i + 1}")(x, train)
+                if n_valid is not None:  # VALID 2x2 avg-pool: floor-div-2
+                    n_valid = n_valid // 2
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="final_norm")(x)

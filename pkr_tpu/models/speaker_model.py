@@ -51,10 +51,12 @@ class SpeakerModel(nn.Module):
     def setup(self):
         if self.trunk in TRUNKS:
             self._trunk = TRUNKS[self.trunk](dtype=self.dtype)
-        elif self.trunk.startswith("densenet"):
+        elif self.trunk in _densenet.DENSENETS:
             self._trunk = _densenet.DENSENETS[self.trunk](dtype=self.dtype)
         else:
-            raise ValueError(f"unknown trunk {self.trunk!r}")
+            raise ValueError(
+                f"unknown trunk {self.trunk!r} (choose from "
+                f"{sorted(TRUNKS) + sorted(_densenet.DENSENETS)})")
         self.fc1 = nn.Dense(self.emb_dim, dtype=jnp.float32, param_dtype=jnp.float32)
         if self.loss in ("softmax", "AAM-v1"):
             self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
@@ -73,22 +75,19 @@ class SpeakerModel(nn.Module):
               train: bool = False) -> jnp.ndarray:
         """(B, F, T) [+ (B, T) frame mask] → (B, emb_dim) embeddings
         (reference `predict`, model.py:402-409)."""
-        fmap = self._trunk(x, train=train)
-        if fmap.ndim == 4:
-            tmask = None
-            if mask is not None:
-                # time axis is strided 8x by the trunk ((T+7)//8 'SAME' convs)
-                n_valid = (jnp.sum(mask.astype(jnp.int32), axis=-1) + 7) // 8
-                tmask = jnp.arange(fmap.shape[2])[None, :] < n_valid[:, None]
-            pooled = stats_pool(fmap, tmask, self.pooling)
-            flat = flatten_pooled(pooled)
-        else:
-            # (B, T', C) trunks (thin_resnet, densenet) pool over time without
-            # a mask: these zoo trunks are fixed-chunk paths in the reference
-            # too (no bucketed extraction ran through them)
-            pooled = stats_pool(fmap[:, None, :, :], None, self.pooling)
-            flat = flatten_pooled(pooled)
-        return self.fc1(flat)
+        fmap = self._trunk(x, train=train, mask=mask)
+        tmask = None
+        if mask is not None:
+            # every trunk reports its own time-axis striding so padded
+            # columns of a bucketed batch stay out of the pooled statistics
+            n_valid = self._trunk.valid_out_frames(
+                jnp.sum(mask.astype(jnp.int32), axis=-1))
+            t_axis = fmap.shape[2] if fmap.ndim == 4 else fmap.shape[1]
+            tmask = jnp.arange(t_axis)[None, :] < n_valid[:, None]
+        if fmap.ndim != 4:
+            fmap = fmap[:, None, :, :]  # (B, T', C) trunks → (B, 1, T', C)
+        pooled = stats_pool(fmap, tmask, self.pooling)
+        return self.fc1(flatten_pooled(pooled))
 
     def __call__(self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None, train: bool = False) -> jnp.ndarray:

@@ -6,8 +6,11 @@ replaced by cos(θ+m) — with Kaldi-recipe defaults m=0.2, s=30
 (run_aam_v2.sh:32-33) — using the hard-margin monotonicity guard
 (phi if cosθ > cos(π−m), else cosθ − m·sin(π−m)); everything scaled by s.
 
-TPU notes: the class matmul is the only O(B·n_spk·D) op — it runs on the MXU
-in the caller's dtype; the margin math is a cheap VPU epilogue kept in f32
+TPU notes: the class matmul is the only O(B·n_spk·D) op — it runs in f32
+(normalized cosines need the mantissa near ±1, and torch parity is defined
+at f32; the bf16-rate scaling path for big speaker counts is the flash
+kernel in ops/flash_aam.py, not this head); the margin math is a cheap VPU
+epilogue kept in f32
 (the clamp/where chain is precision-sensitive near cosθ=±1 — SURVEY §7).
 Instead of building a one-hot matrix and two full (B, n_spk) products like
 the reference, the margin is applied as a scatter-free `where` against the

@@ -199,7 +199,9 @@ def _bwd_kernel(labels_ref, e_ref, w_ref, lse_ref, g_ref,
 def _bwd_pallas(e_hat, weight, labels, lse, g_per_example, m, s, tile, interpret):
     B, D = e_hat.shape
     C = weight.shape[0]
-    tile = _adapt_tile(tile, B, C) // 2 if _adapt_tile(tile, B, C) > 128 else 128
+    # backward holds more live state per tile; halve, staying lane-aligned
+    t = _adapt_tile(tile, B, C)
+    tile = max(128, (t // 2) // 128 * 128)
     c_pad = -(-C // tile) * tile
     if c_pad != C:
         weight = jnp.pad(weight, ((0, c_pad - C), (0, 0)), constant_values=1.0)

@@ -257,3 +257,40 @@ def test_extract_sharded_over_mesh():
     assert set(plain) == set(sharded)
     for k in plain:
         np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("trunk", ["se_resnet34", "densenet62"])
+def test_masked_embedding_invariant_to_bucket_padding(trunk):
+    """The same utterance must embed identically whatever bucket it lands
+    in: the SE gates' squeeze means (se_*) and the pooled statistics of
+    (B, T', C) trunks (densenet*) must exclude padded time columns."""
+    import jax
+
+    model = SpeakerModel(spk_num=4, feat_dim=16, trunk=trunk,
+                         pooling="mean+std", loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    T = 64
+    x = rng.standard_normal((1, 16, T)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x),
+                           jnp.zeros((1,), jnp.int32), train=False)
+
+    def emb(pad_to):
+        xp = np.zeros((1, 16, pad_to), np.float32)
+        xp[:, :, :T] = x
+        mask = np.arange(pad_to)[None, :] < T
+        return np.asarray(model.apply(
+            variables, jnp.asarray(xp), jnp.asarray(mask),
+            method=SpeakerModel.embed))
+
+    e64, e96, e160 = emb(64), emb(96), emb(160)
+    np.testing.assert_allclose(e96, e64, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(e160, e64, rtol=1e-4, atol=1e-5)
+
+
+def test_unknown_trunk_raises_value_error():
+    import jax
+
+    model = SpeakerModel(spk_num=4, feat_dim=8, trunk="densenet120")
+    with pytest.raises(ValueError, match="unknown trunk"):
+        model.init(jax.random.key(0), jnp.zeros((1, 8, 16)),
+                   jnp.zeros((1,), jnp.int32))
