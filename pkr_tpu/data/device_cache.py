@@ -42,8 +42,11 @@ def quantize_utterance(mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     from pkr_tpu.io.kaldi_ark import cm_quantize_columns
 
     mat = np.asarray(mat, np.float32)
-    gmin = float(mat.min()) if mat.size else 0.0
-    grange = float(mat.max()) - gmin or 1.0
+    if mat.size:
+        gmin = float(mat.min())
+        grange = (float(mat.max()) - gmin) or 1.0
+    else:
+        gmin, grange = 0.0, 1.0
     _, pct, data = cm_quantize_columns(np.ascontiguousarray(mat.T),
                                        gmin, grange)
     return np.ascontiguousarray(data.T), np.ascontiguousarray(pct.T)
@@ -78,7 +81,7 @@ class DeviceFeatureCache:
     @staticmethod
     def build(mats: Dict[str, np.ndarray], labels: Optional[Dict[str, int]] = None,
               device=None) -> "DeviceFeatureCache":
-        utts = sorted(mats)
+        utts = list(mats)  # CALLER order — the sampler indexes the scp order
         F = next(iter(mats.values())).shape[1]
         offsets, rows, code_blocks, pcts = [], [], [], []
         off = 0
@@ -207,8 +210,8 @@ class ShardedDeviceFeatureCache:
               mesh) -> "ShardedDeviceFeatureCache":
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n = int(dict(zip(mesh.axis_names, mesh.devices.shape))["data"])
-        utts = sorted(mats)
+        n = int(mesh.shape["data"])
+        utts = list(mats)  # CALLER order — the sampler indexes the scp order
         if len(utts) < n:
             raise ValueError(
                 f"sharded cache needs at least one utterance per data shard:"

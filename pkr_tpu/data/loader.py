@@ -40,11 +40,15 @@ class FeatureSource:
 
         self.utts: List[str] = []
         self.rx: List[str] = []
-        for line in open(scp_path):
+        for ln, line in enumerate(open(scp_path), 1):
             parts = line.strip().split(None, 1)
-            if parts:
-                self.utts.append(parts[0])
-                self.rx.append(parts[1])
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{scp_path}:{ln}: malformed scp line {line.strip()!r}")
+            self.utts.append(parts[0])
+            self.rx.append(parts[1])
         self._cache: Optional[Dict[int, np.ndarray]] = None
         self._native = native if (use_native and native.available()) else None
         self._split = [native.split_rxspec(r) for r in self.rx] if self._native else None

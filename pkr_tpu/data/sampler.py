@@ -61,7 +61,11 @@ class BalancedRepetitionSampler:
         rng = np.random.default_rng((seed, epoch))
         order = rng.permutation(len(self.index))
         shuffled = self.index[order]
-        return shuffled[process_index::process_count]
+        # every host must see the SAME count or hosts disagree on
+        # n_batches and the SPMD step deadlocks in the gradient all-reduce
+        # (DistributedSampler solved this by padding; we truncate)
+        per_host = len(shuffled) // process_count
+        return shuffled[process_index::process_count][:per_host]
 
 
 class SpeakerBalancedSampler:
@@ -96,4 +100,5 @@ class SpeakerBalancedSampler:
             pool = self.by_spk[int(s)]
             idx[slots] = pool[rng.integers(0, len(pool), len(slots))]
         order = rng.permutation(n)
-        return idx[order][process_index::process_count]
+        per_host = n // process_count  # equal per-host counts (see above)
+        return idx[order][process_index::process_count][:per_host]

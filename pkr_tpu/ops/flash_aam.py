@@ -314,8 +314,7 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
 
     from pkr_tpu.parallel.mesh import shard_map_compat as shard_map
 
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    n_model = axis_sizes.get("model", 1)
+    n_model = int(mesh.shape.get("model", 1))
     if weight_sharded is None:
         weight_sharded = n_model > 1 and n_classes % n_model == 0
     if weight_sharded:
@@ -324,7 +323,7 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
             f"{n_classes} % {n_model}")
     c_local = n_classes // n_model if weight_sharded else n_classes
     w_spec = P("model", None) if weight_sharded else P(None, None)
-    n_data = axis_sizes.get("data", 1)
+    n_data = int(mesh.shape.get("data", 1))
 
     def _local_labels(y):
         if weight_sharded:

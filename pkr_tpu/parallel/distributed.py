@@ -24,8 +24,10 @@ def initialize(coordinator_address: Optional[str] = None,
     import jax
 
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
     if coordinator_address is None and num_processes is None:
-        return  # single host
+        return  # single host: nothing configured via args OR env
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address

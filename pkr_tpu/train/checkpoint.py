@@ -46,6 +46,34 @@ def wait_for_checkpoints() -> None:
         _COMMIT_THREAD.join()
 
 
+def _parse_ckpt_name(d: str) -> Optional[Tuple[int, int]]:
+    """'ckpt_<epoch>[.v<k>]' → (epoch, k) for ordering, else None."""
+    if not d.startswith("ckpt_"):
+        return None
+    base, _, ver = d[5:].partition(".v")
+    if not base.isdigit() or (ver and not ver.isdigit()):
+        return None
+    return int(base), int(ver) if ver else 0
+
+
+def _resolve_target(path: str, which: str) -> Optional[str]:
+    """'latest' → the marker's directory; 'best' → best; else ckpt_<which>.
+
+    The marker stores the checkpoint DIRECTORY NAME (legacy markers with a
+    bare epoch number still resolve)."""
+    if which == "latest":
+        marker = os.path.join(path, "latest")
+        if not os.path.exists(marker):
+            return None
+        name = open(marker).read().strip()
+        if name.isdigit():  # legacy marker format
+            name = f"ckpt_{name}"
+        return os.path.join(path, name)
+    if which == "best":
+        return os.path.join(path, "best")
+    return os.path.join(path, f"ckpt_{which}")
+
+
 def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
                     keep_last: int = 0, sync: bool = False) -> None:
     """Save to <path>/ckpt_<epoch>; copy to <path>/best when is_best
@@ -56,9 +84,11 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
     the state is snapshotted off the devices; the disk write overlaps
     subsequent training steps.  A new save (or any restore) first waits for
     the previous one.  The 'latest' marker and keep_last pruning run on a
-    completion thread strictly AFTER the Orbax commit — a preemption
-    mid-save leaves the previous marker pointing at the previous (intact)
-    checkpoint instead of at a missing one.  is_best waits (the best copy
+    completion thread strictly AFTER the Orbax commit, and a committed
+    checkpoint is NEVER deleted before its replacement commits — re-saves
+    of the same epoch (mid-epoch step-saves, a resumed epoch) go to a
+    versioned 'ckpt_<e>.v<k>' dir, so a preemption at ANY point leaves the
+    marker pointing at an intact checkpoint.  is_best waits (the best copy
     needs the committed files); sync=True forces a full wait."""
     global _COMMIT_THREAD
     import threading
@@ -66,28 +96,32 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     epoch = int(state.epoch)
-    target = os.path.join(path, f"ckpt_{epoch}")
+    name = f"ckpt_{epoch}"
     ck = _ckptr()
     wait_for_checkpoints()  # at most one save (+epilogue) in flight
-    if os.path.exists(target):
-        shutil.rmtree(target)
+    if os.path.exists(os.path.join(path, name)):
+        k = 1
+        while os.path.exists(os.path.join(path, f"ckpt_{epoch}.v{k}")):
+            k += 1
+        name = f"ckpt_{epoch}.v{k}"
+    target = os.path.join(path, name)
     ck.save(target, jax.device_get(state))
 
     def epilogue():
         ck.wait_until_finished()  # Orbax tmp-dir rename has happened
         with open(os.path.join(path, "latest"), "w") as f:
-            f.write(str(epoch))
+            f.write(name)
         if is_best:
             best = os.path.join(path, "best")
             if os.path.exists(best):
                 shutil.rmtree(best)
             shutil.copytree(target, best)
         if keep_last > 0:
-            epochs = {int(d[5:]) for d in os.listdir(path)
-                      if d.startswith("ckpt_") and d[5:].isdigit()}
-            for old in sorted(epochs, reverse=True)[keep_last:]:
-                if old != epoch:  # never the just-committed target
-                    shutil.rmtree(os.path.join(path, f"ckpt_{old}"),
+            entries = [(key, d) for d in os.listdir(path)
+                       if (key := _parse_ckpt_name(d)) is not None]
+            for _, old in sorted(entries, reverse=True)[keep_last:]:
+                if old != name:  # never the just-committed target
+                    shutil.rmtree(os.path.join(path, old),
                                   ignore_errors=True)
 
     if is_best or sync:
@@ -103,16 +137,8 @@ def restore_checkpoint(path: str, template: TrainState,
     """Restore 'latest', 'best', or an explicit epoch number."""
     wait_for_checkpoints()  # an in-flight async save may be the target
     path = os.path.abspath(path)
-    if which == "latest":
-        marker = os.path.join(path, "latest")
-        if not os.path.exists(marker):
-            return None
-        target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
-    elif which == "best":
-        target = os.path.join(path, "best")
-    else:
-        target = os.path.join(path, f"ckpt_{which}")
-    if not os.path.exists(target):
+    target = _resolve_target(path, which)
+    if target is None or not os.path.exists(target):
         return None
     restored = _ckptr().restore(target, item=jax.device_get(template))
     return jax.tree.map(lambda t, r: np.asarray(r).astype(np.asarray(t).dtype)
@@ -247,17 +273,15 @@ def load_pretrained_variables(path: str, variables: Dict[str, Any],
     wait_for_checkpoints()
     path = os.path.abspath(path)
     if which == "latest":
-        marker = os.path.join(path, "latest")
-        if not os.path.exists(marker):
+        target = _resolve_target(path, "latest")
+        if target is None:
             return variables
-        target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
     else:
         target = os.path.join(path, which)
-        if not os.path.exists(target):
-            marker = os.path.join(path, "latest")
-            if not os.path.exists(marker):
+        if not os.path.exists(target):  # fall back to the latest save
+            target = _resolve_target(path, "latest")
+            if target is None:
                 return variables
-            target = os.path.join(path, f"ckpt_{open(marker).read().strip()}")
     raw = _ckptr().restore(target)  # raw pytree (nested dicts)
 
     import copy

@@ -39,7 +39,7 @@ def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarra
     return jnp.sum(jnp.any(idx == labels[:, None], axis=1).astype(jnp.float32))
 
 
-def make_train_step(model, tx=None, lr_schedule=None,
+def make_train_step(model, tx=None,
                     momentum: float = 0.9, weight_decay: float = 5e-4,
                     flash_aam: bool = False,
                     flash_interpret: Optional[bool] = None,
@@ -176,7 +176,15 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         batch_shard = NamedSharding(mesh, P("data"))
 
     def put(x):
-        return jax.device_put(x, batch_shard) if batch_shard is not None else jnp.asarray(x)
+        if batch_shard is None:
+            return jnp.asarray(x)
+        if jax.process_count() > 1:
+            # each host holds only ITS loader shard; device_put would treat
+            # the local rows as the whole global batch — assemble the
+            # global array from per-process shards instead
+            return jax.make_array_from_process_local_data(
+                batch_shard, np.asarray(x))
+        return jax.device_put(x, batch_shard)
 
     # host-side mirror of state.step: int(state.step) would force a
     # host-device sync on the just-dispatched step EVERY iteration,

@@ -4,8 +4,8 @@ The reference shipped multi-node flag plumbing it never tested
 (train_resnet.py:73-78,148-149).  This smoke actually launches two local
 processes through pkr_tpu.parallel.distributed.initialize, and asserts:
 - process_count / global device_count reflect both processes,
-- the host-sharded sampler partitions an epoch EXACTLY (each process gets
-  the interleaved slice of the same shuffled sequence; union is complete),
+- the host-sharded sampler partitions an epoch with EQUAL per-host
+  counts (truncated interleave of the same shuffled sequence),
 - a cross-process global reduction (sum over a P('data') array spanning
   both processes' devices) agrees on every process.
 
@@ -42,9 +42,12 @@ s = BalancedRepetitionSampler([f"u{{i}}" for i in range(13)],
                               [i % 3 for i in range(13)])
 mine = s.epoch_indices(0, seed=5, process_index=pid, process_count=nproc)
 full = s.epoch_indices(0, seed=5)
-np.testing.assert_array_equal(mine, full[pid::nproc])
-assert sum(len(s.epoch_indices(0, 5, p, nproc)) for p in range(nproc)) \\
-    == len(full)
+per_host = len(full) // nproc
+# every host gets the SAME count (truncated interleave — unequal counts
+# would desync n_batches across hosts and deadlock the SPMD step)
+np.testing.assert_array_equal(mine, full[pid::nproc][:per_host])
+counts = {{len(s.epoch_indices(0, 5, p, nproc)) for p in range(nproc)}}
+assert counts == {{per_host}}, counts
 
 # global reduction across processes: every process holds one shard of a
 # P('data') array; the jit'd sum must see both

@@ -234,12 +234,12 @@ def test_recipe_resume(tmp_path, tiny_cfg):
     cfg2 = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
         tiny_cfg.train, epochs=2, batch_size=8))
     recipe.run_train(cfg2, feat_dir, exp_dir)
-    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "2"
+    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "ckpt_2"
 
     cfg3 = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
         tiny_cfg.train, epochs=3, batch_size=8, resume=True))
     recipe.run_train(cfg3, feat_dir, exp_dir)  # runs only epoch 3
-    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "3"
+    assert open(os.path.join(exp_dir, "checkpoints", "latest")).read() == "ckpt_3"
 
 
 def test_recipe_device_cache_training(tmp_path, tiny_cfg):

@@ -334,3 +334,30 @@ def test_profile_trace_captures_artifact(tmp_path):
     artifacts = glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                           recursive=True)
     assert artifacts, list((tmp_path / "trace").rglob("*"))
+
+
+def test_checkpoint_resave_never_deletes_committed(tiny_setup, tmp_path):
+    """Re-saving the same epoch (step-saves, a resumed epoch) must NOT
+    delete the committed checkpoint the 'latest' marker points to — the
+    re-save goes to a versioned dir and the marker moves only after the
+    new commit."""
+    import os
+
+    from pkr_tpu.train.checkpoint import (restore_checkpoint, save_checkpoint,
+                                          wait_for_checkpoints)
+
+    model, state, feats, labels = tiny_setup
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, state, sync=True)
+    assert open(os.path.join(d, "latest")).read() == "ckpt_0"
+    save_checkpoint(d, state, sync=True)  # same epoch again
+    assert os.path.isdir(os.path.join(d, "ckpt_0"))      # still intact
+    assert os.path.isdir(os.path.join(d, "ckpt_0.v1"))   # the re-save
+    assert open(os.path.join(d, "latest")).read() == "ckpt_0.v1"
+    assert restore_checkpoint(d, state) is not None
+    # keep_last prunes the older version, never the marker target
+    save_checkpoint(d, state, keep_last=1, sync=True)
+    wait_for_checkpoints()
+    assert open(os.path.join(d, "latest")).read() == "ckpt_0.v2"
+    assert os.path.isdir(os.path.join(d, "ckpt_0.v2"))
+    assert not os.path.isdir(os.path.join(d, "ckpt_0"))
