@@ -82,7 +82,10 @@ class DataDir:
 
     @property
     def utts(self) -> List[str]:
+        rec_keyed = "segments" in self.tables
         for name in _UTT_TABLES:
+            if name == "wav.scp" and rec_keyed:
+                continue  # recording-keyed, not utterance-keyed
             if name in self.tables:
                 return sorted(self.tables[name])
         return []
@@ -115,6 +118,17 @@ class DataDir:
             if name not in self.tables:
                 problems.append(f"missing table {name}")
         utt_tables = [n for n in _UTT_TABLES if n in self.tables]
+        if "segments" in self.tables and "wav.scp" in utt_tables:
+            # Kaldi semantics: with a segments file, wav.scp is keyed by
+            # RECORDING id, not utterance id — check referenced recordings
+            # exist instead of demanding utterance-key equality
+            utt_tables.remove("wav.scp")
+            recs = {v.split()[0] for v in self.tables["segments"].values()}
+            missing_recs = recs - set(self.tables["wav.scp"])
+            if missing_recs:
+                problems.append(
+                    f"segments references {len(missing_recs)} recordings "
+                    f"absent from wav.scp")
         if utt_tables:
             ref_name = utt_tables[0]
             ref_keys = set(self.tables[ref_name])
@@ -136,6 +150,9 @@ class DataDir:
         """Repair by intersecting utterance keys across all present utt-keyed
         tables and regenerating spk2utt (fix_data_dir.sh semantics)."""
         utt_tables = [n for n in _UTT_TABLES if n in self.tables]
+        rec_keyed = "segments" in self.tables  # wav.scp keys recordings then
+        if rec_keyed and "wav.scp" in utt_tables:
+            utt_tables.remove("wav.scp")
         if not utt_tables:
             return self
         keep = set(self.tables[utt_tables[0]])
@@ -143,7 +160,12 @@ class DataDir:
             keep &= set(self.tables[name])
         new = {}
         for name, table in self.tables.items():
-            if name in _UTT_TABLES:
+            if name == "wav.scp" and rec_keyed:
+                recs = {v.split()[0]
+                        for u, v in self.tables["segments"].items()
+                        if u in keep}
+                new[name] = {k: v for k, v in table.items() if k in recs}
+            elif name in _UTT_TABLES:
                 new[name] = {k: v for k, v in table.items() if k in keep}
             else:
                 new[name] = dict(table)
@@ -155,9 +177,15 @@ class DataDir:
     def filter_utts(self, keep: Iterable[str]) -> "DataDir":
         """Keep only the given utterances (filter_scp.pl applied everywhere)."""
         keep = set(keep)
+        rec_keyed = "segments" in self.tables
         new = {}
         for name, table in self.tables.items():
-            if name in _UTT_TABLES:
+            if name == "wav.scp" and rec_keyed:
+                recs = {v.split()[0]
+                        for u, v in self.tables["segments"].items()
+                        if u in keep}
+                new[name] = {k: v for k, v in table.items() if k in recs}
+            elif name in _UTT_TABLES:
                 new[name] = {k: v for k, v in table.items() if k in keep}
             else:
                 new[name] = dict(table)
@@ -167,7 +195,7 @@ class DataDir:
     def subset(self, n: int, first: bool = True) -> "DataDir":
         """First/last-n utterance subset (subset_data_dir.sh)."""
         utts = self.utts
-        chosen = utts[:n] if first else utts[-n:]
+        chosen = utts[:n] if first else (utts[-n:] if n > 0 else [])
         return self.filter_utts(chosen)
 
     def split(self, num_shards: int, shard: int) -> "DataDir":
@@ -228,13 +256,24 @@ class DataDir:
         return self.filter_utts(keep)
 
 
-def compute_utt2dur(dd: "DataDir", rate_hint: int = 16000) -> "DataDir":
-    """Fill utt2dur (seconds) by reading wav headers
-    (utils/data/get_utt2dur.sh role; pipes are decoded to count samples)."""
+def compute_utt2dur(dd: "DataDir") -> "DataDir":
+    """Fill utt2dur (seconds) — plain wav paths read only the RIFF header
+    (utils/data/get_utt2dur.sh role); pipes must be decoded to count
+    samples."""
+    import wave
+
     from pkr_tpu.io.wav import read_wav
 
     utt2dur = {}
     for utt, rx in dd.get("wav.scp").items():
+        rx = rx.strip()
+        if not rx.endswith("|") and os.path.exists(rx):
+            try:
+                with wave.open(rx, "rb") as w:
+                    utt2dur[utt] = f"{w.getnframes() / w.getframerate():.3f}"
+                continue
+            except (wave.Error, EOFError, OSError):
+                pass  # non-RIFF container: fall through to full decode
         wav, rate = read_wav(rx)
         utt2dur[utt] = f"{len(wav) / rate:.3f}"
     new = dict(dd.tables)

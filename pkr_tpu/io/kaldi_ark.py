@@ -154,13 +154,6 @@ def read_key(fd: BinaryIO) -> str:
     return key
 
 
-def _expect_binary_flag(fd: BinaryIO) -> bool:
-    flag = fd.read(2)
-    if flag == b"\x00B":
-        return True
-    return False  # caller handles text mode with these 2 bytes consumed
-
-
 # ---------------------------------------------------------------------------
 # int32 vectors
 # ---------------------------------------------------------------------------
@@ -189,7 +182,9 @@ def read_vec_int(file_or_fd) -> np.ndarray:
 
 
 def write_vec_int(file_or_fd, v: np.ndarray, key: str = "") -> None:
-    fd = open_or_fd(file_or_fd, "wb")
+    # keyed → append (building an ark by repeated calls); bare → truncate
+    # (a single-object file must not silently accumulate stale copies)
+    fd = open_or_fd(file_or_fd, "ab" if key else "wb")
     try:
         if key:
             fd.write((key + " ").encode("latin1"))
@@ -252,7 +247,7 @@ def write_vec_flt(file_or_fd, v: np.ndarray, key: str = "") -> None:
     else:
         v = v.astype(np.float32)
         token = b"FV "
-    fd = open_or_fd(file_or_fd, "wb")
+    fd = open_or_fd(file_or_fd, "ab" if key else "wb")  # see write_vec_int
     try:
         if key:
             fd.write((key + " ").encode("latin1"))
@@ -371,7 +366,10 @@ def write_mat(file_or_fd, m: np.ndarray, key: str = "", compress: bool = False,
     make_fbank.sh:107); ``text=True`` writes the ascii 'ark,t' form."""
     m = np.asarray(m)
     assert m.ndim == 2
-    fd = open_or_fd(file_or_fd, "ab")
+    # keyed → append (ark building by repeated calls); bare → truncate, or
+    # re-running a script that writes one matrix to a fixed path would read
+    # back the FIRST (stale) copy forever
+    fd = open_or_fd(file_or_fd, "ab" if key else "wb")
     try:
         if text:
             lines = [f"{key}  [" if key else " ["]

@@ -32,11 +32,17 @@ def augment_data_dir(dd: DataDir, kinds: Sequence[str] = AUG_KINDS,
                      seed: int = 0) -> DataDir:
     """clean + one augmented copy per utterance with a random kind
     (augment_data_dir.py composition; run.sh:162-164 doubles the corpus)."""
+    from pkr_tpu.io.datadir import _UTT_TABLES
+
     rng = np.random.default_rng(seed)
     utt2spk = dict(dd["utt2spk"])
     wav = dict(dd["wav.scp"])
     utt2aug = {u: "none" for u in utt2spk}
-    extra = {n: dict(dd[n]) for n in ("utt2speed",) if n in dd}
+    # carry EVERY utt-keyed table to the augmented copies (utt2warp/VTLN,
+    # utt2speed, text, ... — dropping them silently reverts per-utterance
+    # feature configuration on the whole doubled corpus)
+    extra = {n: dict(dd[n]) for n in _UTT_TABLES
+             if n in dd and n not in ("utt2spk", "wav.scp", "utt2aug")}
     for utt in sorted(dd["utt2spk"]):
         kind = kinds[rng.integers(0, len(kinds))]
         new = f"{utt}-{kind}"
@@ -44,7 +50,8 @@ def augment_data_dir(dd: DataDir, kinds: Sequence[str] = AUG_KINDS,
         wav[new] = dd["wav.scp"][utt]
         utt2aug[new] = kind
         for n, t in extra.items():
-            t[new] = dd[n][utt]
+            if utt in dd[n]:
+                t[new] = dd[n][utt]
     tables = {"utt2spk": utt2spk, "wav.scp": wav, "utt2aug": utt2aug}
     tables.update(extra)
     return DataDir(tables).make_spk2utt()
@@ -53,8 +60,11 @@ def augment_data_dir(dd: DataDir, kinds: Sequence[str] = AUG_KINDS,
 def perturb_data_dir_speed(dd: DataDir, factors: Sequence[float] = (0.9, 1.1),
                            keep_original: bool = True) -> DataDir:
     """Speed-perturbed copies 'sp<f>-<utt>' (perturb_data_dir_speed.sh)."""
+    from pkr_tpu.io.datadir import _UTT_TABLES
+
     utt2spk, wav, utt2speed = {}, {}, {}
-    extra = {n: {} for n in ("utt2aug",) if n in dd}
+    extra = {n: {} for n in _UTT_TABLES
+             if n in dd and n not in ("utt2spk", "wav.scp", "utt2speed")}
     if keep_original:
         utt2spk.update(dd["utt2spk"])
         wav.update(dd["wav.scp"])
@@ -68,7 +78,8 @@ def perturb_data_dir_speed(dd: DataDir, factors: Sequence[float] = (0.9, 1.1),
             wav[new] = dd["wav.scp"][utt]
             utt2speed[new] = str(f)
             for n in extra:
-                extra[n][new] = dd[n][utt]
+                if utt in dd[n]:
+                    extra[n][new] = dd[n][utt]
     tables = {"utt2spk": utt2spk, "wav.scp": wav, "utt2speed": utt2speed}
     tables.update(extra)
     return DataDir(tables).make_spk2utt()
@@ -125,10 +136,6 @@ class AugmentPools:
             rirs = AugmentPools.from_wavs(rir_wavs, int(0.5 * rate))
         return AugmentPools(noise=kw.get("noise"), music=kw.get("music"),
                             speech=kw.get("speech"), rirs=rirs, seed=seed)
-
-    SNR = {"noise": (15.0, 10.0, 5.0, 0.0),  # run.sh:136-144
-           "music": (15.0, 10.0, 8.0, 5.0),
-           "babble": (20.0, 17.0, 15.0, 13.0)}
 
     @property
     def augmenter(self):

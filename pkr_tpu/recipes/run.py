@@ -39,16 +39,19 @@ def _stage_range(args):
 def run_features(data_dir: str, out_dir: str, batch: int = 8,
                  quantum_sec: float = 2.0, dither: float = 1.0,
                  apply_vad: bool = True, seed: int = 0,
-                 pools=None, n_jobs: int = 4) -> None:
+                 pools=None, n_jobs: int = 4, frontend=None) -> None:
     """Batched on-device feature extraction over a data dir's wav.scp.
 
-    Honors declarative augmentation tables when present (utt2speed applied
-    at decode, utt2aug mixed on device via `pools`, an
-    recipes.augment_dir.AugmentPools).  Wav decode runs on an n_jobs thread
-    pool (the nj-way fan-out role of make_fbank.sh's run.pl jobs —
-    ffmpeg/sox pipe entries are subprocess-bound, so threads overlap them
-    even on one core); augmentation and device work stay on the main thread
-    for deterministic RNG use."""
+    `frontend` (a pkr_tpu.frontend.FrontendConfig) carries the FULL feature
+    configuration — mel bins, freq range, VAD thresholds, CMVN window …
+    (conf/fbank.conf + conf/vad.conf roles); without it, defaults with the
+    given `dither` apply.  Honors declarative augmentation tables when
+    present (utt2speed applied at decode, utt2aug mixed on device via
+    `pools`, an recipes.augment_dir.AugmentPools).  Wav decode runs on an
+    n_jobs thread pool (the nj-way fan-out role of make_fbank.sh's run.pl
+    jobs — ffmpeg/sox pipe entries are subprocess-bound, so threads overlap
+    them even on one core); augmentation and device work stay on the main
+    thread for deterministic RNG use."""
     import jax
     import jax.numpy as jnp
 
@@ -63,14 +66,18 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
     utt2aug = dd.get("utt2aug")
     utt2speed = dd.get("utt2speed")
     utt2warp = dd.get("utt2warp")  # per-utterance VTLN (make_fbank.sh:74-80)
-    fb = FbankConfig(dither=dither)
-    cfg = FrontendConfig(fbank=fb)
+    if frontend is not None:
+        cfg = dataclasses.replace(
+            frontend, fbank=dataclasses.replace(frontend.fbank, dither=dither))
+    else:
+        cfg = FrontendConfig(fbank=FbankConfig(dither=dither))
+    fb = cfg.fbank
     cfg_by_warp = {}
 
     def cfg_for(warp: float):
         if warp not in cfg_by_warp:
-            cfg_by_warp[warp] = (cfg if warp == 1.0 else FrontendConfig(
-                fbank=dataclasses.replace(fb, vtln_warp=warp)))
+            cfg_by_warp[warp] = (cfg if warp == 1.0 else dataclasses.replace(
+                cfg, fbank=dataclasses.replace(fb, vtln_warp=warp)))
         return cfg_by_warp[warp]
 
     key = jax.random.key(seed)
@@ -525,10 +532,10 @@ def main(argv=None):
             print(f"== stage 1: features → {feat_dir}")
             dither = cfg.frontend.fbank.dither
             run_features(args.data_dir, feat_dir, dither=dither, pools=pools,
-                         seed=cfg.train.seed)
+                         seed=cfg.train.seed, frontend=cfg.frontend)
             if args.test_data_dir:
                 run_features(args.test_data_dir, test_feat_dir, dither=dither,
-                             seed=cfg.train.seed)
+                             seed=cfg.train.seed, frontend=cfg.frontend)
         elif stage == 2:
             print("== stage 2: filter/split/labels")
             n = run_split(feat_dir, args.data_dir, cfg.data.min_frames,

@@ -15,6 +15,7 @@ Python ports of the Perl/py prep tools (SURVEY §2.5):
 from __future__ import annotations
 
 import os
+import shlex
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -59,7 +60,8 @@ def make_voxceleb2(root: str, dataset: str = "dev",
     utt2spk, wav = {}, {}
     for spk, utt, path in _walk_utts(aac_root, "m4a"):
         utt2spk[utt] = spk
-        wav[utt] = f"{ffmpeg} -v 8 -i {path} -f wav -acodec pcm_s16le -|"
+        wav[utt] = (f"{ffmpeg} -v 8 -i {shlex.quote(path)} "
+                            f"-f wav -acodec pcm_s16le -|")
     return DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt()
 
 
@@ -231,10 +233,11 @@ def make_vctk(root: str, resample_cmd: str = "ffmpeg",
                 continue
             utt = f[:-4]
             path = os.path.join(spk_dir, f)
+            q = shlex.quote(path)
             if resample_cmd == "sox":
-                cmd = f"sox {path} -t wav -r {rate} -c 1 - |"
+                cmd = f"sox {q} -t wav -r {rate} -c 1 - |"
             else:
-                cmd = (f"ffmpeg -v 8 -i {path} -f wav -ar {rate} -ac 1 "
+                cmd = (f"ffmpeg -v 8 -i {q} -f wav -ar {rate} -ac 1 "
                        f"-acodec pcm_s16le -|")
             utt2spk[utt] = spk
             wav[utt] = cmd

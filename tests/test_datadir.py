@@ -60,3 +60,33 @@ def test_filter_min_frames():
     assert sorted(out.utts) == sorted(u for u, n in frames.items() if n >= 200)
     assert out.num_utts == 10
     assert out.validate() == []
+
+
+def test_segments_dir_validates_and_fixes():
+    """With a segments file, wav.scp is RECORDING-keyed (Kaldi semantics):
+    validate must not demand utterance-key equality, and fix must keep
+    recordings referenced by surviving segments."""
+    dd = DataDir({
+        "wav.scp": {"rec1": "/w/rec1.wav", "rec2": "/w/rec2.wav"},
+        "utt2spk": {"u1": "s1", "u2": "s1", "u3": "s2"},
+        "segments": {"u1": "rec1 0.0 2.0", "u2": "rec1 2.0 4.0",
+                     "u3": "rec2 0.0 3.0"},
+    }).make_spk2utt()
+    assert dd.validate() == []
+    # a missing recording IS a problem
+    bad = DataDir({**{k: dict(v) for k, v in dd.tables.items()},
+                   "wav.scp": {"rec1": "/w/rec1.wav"}})
+    assert any("recordings" in p for p in bad.validate())
+    # fix drops u3 (say utt2spk lost it) and then rec2 is unreferenced
+    t = {k: dict(v) for k, v in dd.tables.items()}
+    del t["utt2spk"]["u3"]
+    fixed = DataDir(t).fix()
+    assert sorted(fixed.utts) == ["u1", "u2"]
+    assert sorted(fixed["wav.scp"]) == ["rec1"]
+
+
+def test_subset_zero_last_is_empty():
+    d = make_dir()
+    assert d.subset(0, first=False).num_utts == 0
+    assert d.subset(0, first=True).num_utts == 0
+    assert d.subset(2, first=False).num_utts == 2

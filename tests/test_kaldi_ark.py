@@ -274,3 +274,20 @@ def test_text_matrix_roundtrip(tmp_path):
     ka.write_mat(str(p), m, key="u1", text=True)
     d = dict(ka.read_mat_ark(str(p)))
     np.testing.assert_allclose(d["u1"], m, rtol=1e-6)
+
+
+def test_bare_writes_truncate_keyed_writes_append(tmp_path):
+    """A single-object file must not accumulate stale copies across reruns;
+    keyed repeated writes build an ark (the append idiom)."""
+    p = str(tmp_path / "m.mat")
+    m1 = np.ones((2, 3), np.float32)
+    m2 = np.full((2, 3), 7.0, np.float32)
+    ka.write_mat(p, m1)
+    ka.write_mat(p, m2)  # rerun: must REPLACE, not append
+    np.testing.assert_array_equal(ka.read_mat(p), m2)
+    a = str(tmp_path / "a.ark")
+    ka.write_mat(a, m1, key="u1")
+    ka.write_mat(a, m2, key="u2")
+    got = dict(ka.read_mat_ark(a))
+    np.testing.assert_array_equal(got["u1"], m1)
+    np.testing.assert_array_equal(got["u2"], m2)
