@@ -270,8 +270,12 @@ def compute_utt2dur(dd: "DataDir") -> "DataDir":
         if not rx.endswith("|") and os.path.exists(rx):
             try:
                 with wave.open(rx, "rb") as w:
-                    utt2dur[utt] = f"{w.getnframes() / w.getframerate():.3f}"
-                continue
+                    nf, fr = w.getnframes(), w.getframerate()
+                # streaming writers leave 0/0xFFFFFFFF placeholder sizes:
+                # only trust plausible headers, else count real samples
+                if 0 < nf < 0x7FFFFFFF and fr > 0:
+                    utt2dur[utt] = f"{nf / fr:.3f}"
+                    continue
             except (wave.Error, EOFError, OSError):
                 pass  # non-RIFF container: fall through to full decode
         wav, rate = read_wav(rx)

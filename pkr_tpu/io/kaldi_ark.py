@@ -49,12 +49,19 @@ class _PipeReader(io.RawIOBase):
         self._cmd = cmd
         self._proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE)
         self._fd = self._proc.stdout
+        self._eof = False
 
     def read(self, n: int = -1) -> bytes:
-        return self._fd.read(n)
+        out = self._fd.read(n)
+        if not out:
+            self._eof = True
+        return out
 
     def readline(self) -> bytes:
-        return self._fd.readline()
+        out = self._fd.readline()
+        if not out:
+            self._eof = True
+        return out
 
     def readable(self) -> bool:
         return True
@@ -64,9 +71,12 @@ class _PipeReader(io.RawIOBase):
             self._fd.close()
             rc = self._proc.wait()
             super().close()
-            # SIGPIPE (rc 141 / -13) just means WE stopped reading early
-            # (e.g. a partially-consumed ark generator) — not a failure
-            if rc not in (0, 141, -13):
+            # Raise only when WE consumed the stream to EOF: then a nonzero
+            # exit means truncated/failed output (a failed command's empty
+            # stdout hits EOF immediately).  A deliberately abandoned pipe
+            # (partial ark read) must stay silent regardless of how the
+            # producer reacts to the broken pipe (SIGPIPE, EPIPE rc=1, ...).
+            if self._eof and rc not in (0, 141, -13):
                 raise IOError(
                     f"input pipe command failed (rc={rc}): {self._cmd!r}")
         super().close()

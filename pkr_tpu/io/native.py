@@ -51,6 +51,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    src = os.path.join(_NATIVE_DIR, "pkr_ark.cpp")
+    stale = (os.path.exists(_SO_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if stale:  # a prebuilt .so must not silently pin old decoder behavior
+        _build()  # best effort; fall back to the existing .so on failure
     if not os.path.exists(_SO_PATH) and not _build():
         return None
     try:

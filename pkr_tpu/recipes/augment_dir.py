@@ -38,11 +38,15 @@ def augment_data_dir(dd: DataDir, kinds: Sequence[str] = AUG_KINDS,
     utt2spk = dict(dd["utt2spk"])
     wav = dict(dd["wav.scp"])
     utt2aug = {u: "none" for u in utt2spk}
-    # carry EVERY utt-keyed table to the augmented copies (utt2warp/VTLN,
-    # utt2speed, text, ... — dropping them silently reverts per-utterance
-    # feature configuration on the whole doubled corpus)
+    # carry utt-keyed CONFIGURATION tables to the augmented copies
+    # (utt2warp/VTLN, utt2speed, text) — but NOT tables describing already-
+    # computed audio/features (feats.scp/vad.scp/utt2num_frames/utt2dur):
+    # those are wrong for the derived signal and would make stage 1 feed
+    # clean features for the "augmented" half
+    drop = ("utt2spk", "wav.scp", "utt2aug",
+            "feats.scp", "vad.scp", "utt2num_frames", "utt2dur")
     extra = {n: dict(dd[n]) for n in _UTT_TABLES
-             if n in dd and n not in ("utt2spk", "wav.scp", "utt2aug")}
+             if n in dd and n not in drop}
     for utt in sorted(dd["utt2spk"]):
         kind = kinds[rng.integers(0, len(kinds))]
         new = f"{utt}-{kind}"
@@ -63,8 +67,9 @@ def perturb_data_dir_speed(dd: DataDir, factors: Sequence[float] = (0.9, 1.1),
     from pkr_tpu.io.datadir import _UTT_TABLES
 
     utt2spk, wav, utt2speed = {}, {}, {}
-    extra = {n: {} for n in _UTT_TABLES
-             if n in dd and n not in ("utt2spk", "wav.scp", "utt2speed")}
+    drop = ("utt2spk", "wav.scp", "utt2speed",
+            "feats.scp", "vad.scp", "utt2num_frames", "utt2dur")
+    extra = {n: {} for n in _UTT_TABLES if n in dd and n not in drop}
     if keep_original:
         utt2spk.update(dd["utt2spk"])
         wav.update(dd["wav.scp"])

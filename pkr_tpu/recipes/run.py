@@ -264,13 +264,20 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         if cfg.train.device_cache and split == "train" and isinstance(chunk, int):
             from pkr_tpu.data import DeviceCacheLoader, DeviceFeatureCache
 
+            assert jax.process_count() == 1, (
+                "device_cache is a single-host loop (the cache lives in "
+                "THIS host's device HBM); use the host loader multi-host")
             cache = DeviceFeatureCache.from_scp(scp, u2id)
             print(f"device cache: {cache.nbytes / 1e6:.1f} MB in HBM "
                   f"({len(src)} utterances)")
             return DeviceCacheLoader(cache, sampler, batch, chunk,
                                      seed=cfg.train.seed)
+        # per-host loader shard: the train loop's put() assembles the
+        # global batch across processes (multi-host contract)
         return TrainLoader(src, labels, sampler, batch, chunk,
-                           seed=cfg.train.seed)
+                           seed=cfg.train.seed,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
 
     train_loader, cv_loader = make_loader("train"), make_loader("cv")
     example = jnp.zeros((2, cfg.model.feat_dim, min(cfg.train.chunk_size)))
@@ -312,9 +319,16 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         state = state.replace(params=params)
     logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))
 
+    is_rank0 = jax.process_index() == 0
+
     def on_epoch_end(state, epoch, metrics):
-        save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"],
-                        keep_last=cfg.train.keep_last_checkpoints)
+        # rank-0 saves (train_resnet.py:281-289 semantics): concurrent
+        # writers would race the versioned-name probe and the best copy.
+        # Data-parallel state is replicated, so rank 0 holds it all;
+        # multi-host + model_parallel>1 checkpointing is out of scope.
+        if is_rank0:
+            save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"],
+                            keep_last=cfg.train.keep_last_checkpoints)
 
     train_and_validate(model, state, train_loader, cv_loader,
                        epochs=cfg.train.epochs, lr0=cfg.train.lr,
@@ -329,7 +343,7 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        on_step_save=(lambda st: save_checkpoint(
                            ckpt_dir, st, keep_last=max(
                                cfg.train.keep_last_checkpoints, 2)))
-                       if cfg.train.save_every_steps else None)
+                       if cfg.train.save_every_steps and is_rank0 else None)
     from pkr_tpu.train.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # the last save is async; commit before returning
@@ -504,6 +518,9 @@ def main(argv=None):
 
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, profile_dir=args.profile_dir))
+    from pkr_tpu.parallel.distributed import initialize
+
+    initialize()  # launch_hosts/slurm env contract; no-op single host
     os.makedirs(args.exp_dir, exist_ok=True)
     feat_dir = os.path.join(args.exp_dir, "feats")
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")

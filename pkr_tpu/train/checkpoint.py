@@ -71,6 +71,16 @@ def _resolve_target(path: str, which: str) -> Optional[str]:
         return os.path.join(path, name)
     if which == "best":
         return os.path.join(path, "best")
+    # explicit epoch: resolve the NEWEST version of that epoch (step-saves
+    # create ckpt_<e>.v<k>, and pruning may have removed the plain dir)
+    try:
+        entries = [(key, d) for d in os.listdir(path)
+                   if (key := _parse_ckpt_name(d)) is not None
+                   and key[0] == int(which)]
+    except (OSError, ValueError):
+        entries = []
+    if entries:
+        return os.path.join(path, max(entries)[1])
     return os.path.join(path, f"ckpt_{which}")
 
 
