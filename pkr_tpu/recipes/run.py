@@ -255,6 +255,10 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         # the batch must stay divisible by the mesh's data axis
         batch = min(cfg.train.batch_size, len(sampler))
         batch = max(n_data, batch // n_data * n_data)
+        # cfg.train.batch_size is the GLOBAL batch (the reference's 1024
+        # spans 8 GPUs): each host's loader yields its 1/P share and the
+        # train loop assembles the global batch across processes
+        batch = max(1, batch // jax.process_count())
         if split == "cv" and len(sampler) < batch:
             # fewer cv utts than the mesh-divisible minimum (e.g. 5 utts on
             # an 8-chip mesh): tile indices up to one full batch — a few
@@ -319,16 +323,12 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         state = state.replace(params=params)
     logger = ProgressLogger(jsonl_path=os.path.join(exp_dir, "train_metrics.jsonl"))
 
-    is_rank0 = jax.process_index() == 0
-
     def on_epoch_end(state, epoch, metrics):
-        # rank-0 saves (train_resnet.py:281-289 semantics): concurrent
-        # writers would race the versioned-name probe and the best copy.
-        # Data-parallel state is replicated, so rank 0 holds it all;
-        # multi-host + model_parallel>1 checkpointing is out of scope.
-        if is_rank0:
-            save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"],
-                            keep_last=cfg.train.keep_last_checkpoints)
+        # every process calls save (Orbax's distributed save coordinates;
+        # a rank-0-only call would hang in the commit barrier); only rank
+        # 0 touches the marker/best/prune filesystem state inside
+        save_checkpoint(ckpt_dir, state, is_best=metrics["is_best"],
+                        keep_last=cfg.train.keep_last_checkpoints)
 
     train_and_validate(model, state, train_loader, cv_loader,
                        epochs=cfg.train.epochs, lr0=cfg.train.lr,
@@ -343,7 +343,7 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        on_step_save=(lambda st: save_checkpoint(
                            ckpt_dir, st, keep_last=max(
                                cfg.train.keep_last_checkpoints, 2)))
-                       if cfg.train.save_every_steps and is_rank0 else None)
+                       if cfg.train.save_every_steps else None)
     from pkr_tpu.train.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # the last save is async; commit before returning
@@ -371,17 +371,24 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
     assert restored is not None, "no checkpoint to extract from"
     variables = {"params": restored.params, "batch_stats": restored.batch_stats}
     src = FeatureSource(scp)
+    pi, pc = jax.process_index(), jax.process_count()
+    # multi-host: each host extracts ITS utterance shard on its LOCAL
+    # devices and writes a per-process ark (the reference's nj-way decode
+    # wrote per-job arks the same way; text arks concatenate trivially)
     loader = EvalLoader(src, batch_size=cfg.eval.batch_size,
                         quantum=cfg.eval.bucket_quantum, max_len=cfg.eval.max_len,
                         chunk_size=cfg.eval.chunk_size,
-                        long_mode=cfg.eval.long_mode)
+                        long_mode=cfg.eval.long_mode,
+                        process_index=pi, process_count=pc)
     mesh = None
-    if jax.device_count() > 1:
+    if jax.local_device_count() > 1:
         from pkr_tpu.parallel import make_mesh
 
-        mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+        mesh = make_mesh(n_data=jax.local_device_count(), n_model=1,
+                         devices=jax.local_devices())
     embs = extract_embeddings(model, variables, loader, mesh=mesh)
-    write_text_vec_ark(os.path.join(exp_dir, out_name), embs)
+    out = out_name if pc == 1 else f"{out_name}.{pi}"
+    write_text_vec_ark(os.path.join(exp_dir, out), embs)
 
 
 def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,

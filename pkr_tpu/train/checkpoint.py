@@ -115,10 +115,37 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
             k += 1
         name = f"ckpt_{epoch}.v{k}"
     target = os.path.join(path, name)
-    ck.save(target, jax.device_get(state))
+    # Multi-process: EVERY process must call save (Orbax's commit is a
+    # cross-process barrier — a rank-0-only call deadlocks) and the state
+    # is passed as global jax arrays so each process writes its shards;
+    # host-local leaves (the epoch/step counters the loop re-creates each
+    # epoch) are promoted to globally-replicated arrays first, since Orbax
+    # refuses to serialize host-local arrays multi-host.
+    # Single-process: snapshot to host numpy so the device buffers are
+    # free to advance while the disk write runs.
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        gmesh = Mesh(np.asarray(jax.devices()), ("_all",))
+
+        def to_global(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a proper global (mesh-placed) array
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), gmesh, P())
+
+        payload = jax.tree.map(to_global, state)
+    else:
+        payload = jax.device_get(state)
+    ck.save(target, payload)
+    rank0 = jax.process_index() == 0
 
     def epilogue():
         ck.wait_until_finished()  # Orbax tmp-dir rename has happened
+        if not rank0:
+            return  # marker/best/prune are rank-0 filesystem actions
         with open(os.path.join(path, "latest"), "w") as f:
             f.write(name)
         if is_best:
@@ -134,7 +161,9 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
                     shutil.rmtree(os.path.join(path, old),
                                   ignore_errors=True)
 
-    if is_best or sync:
+    if is_best or sync or multi:
+        # multi: the commit barrier needs all processes — run inline so no
+        # process races ahead into the next collective while others save
         epilogue()
         _COMMIT_THREAD = None
     else:

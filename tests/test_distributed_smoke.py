@@ -170,3 +170,89 @@ def test_two_process_multihost_training(tmp_path):
 
     sums = [re.search(r"psum0=(-?[0-9.]+)", o).group(1) for o in outs]
     assert sums[0] == sums[1], outs
+
+
+CLI_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import os
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+pid, nproc, port, work = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                          sys.argv[4])
+from pkr_tpu.parallel.distributed import initialize
+initialize(coordinator_address=f"localhost:{{port}}", num_processes=nproc,
+           process_id=pid)
+
+import dataclasses
+from pkr_tpu.config import Config, EvalConfig, ModelConfig, TrainConfig
+from pkr_tpu.recipes import run as recipe
+
+cfg = Config(
+    model=ModelConfig(trunk="tiny_resnet", loss="AAM", pooling="mean+std"),
+    train=TrainConfig(epochs=2, batch_size=8, lr=0.1, chunk_size=(50,),
+                      seed=0, print_freq=1000),
+    eval=EvalConfig(backend="cosine", bucket_quantum=50, max_len=150,
+                    batch_size=4))
+feat_dir = os.path.join(work, "exp", "feats")
+exp_dir = os.path.join(work, "exp")
+recipe.run_train(cfg, feat_dir, exp_dir)           # sharded loaders, rank-0 ckpt
+recipe.run_extract(cfg, feat_dir, exp_dir,
+                   os.path.join(feat_dir, "train", "feats.scp"), "train.iv")
+print(f"cli worker {{pid}} done", flush=True)
+"""
+
+
+def test_two_process_cli_train_extract(tmp_path):
+    """The REAL recipe functions across 2 jax.distributed processes: stage 3
+    trains with per-host loader shards (global batch = cfg.batch_size) and
+    rank-0 checkpointing; stage 4 extracts disjoint per-host shards into
+    per-process arks whose union covers the corpus exactly once."""
+    import numpy as np
+
+    from pkr_tpu.config import Config, EvalConfig, ModelConfig, TrainConfig
+    from pkr_tpu.recipes import run as recipe
+
+    # the parent (single process) prepares features once
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_e2e import synth_corpus
+
+    work = tmp_path
+    data_dir = str(work / "data")
+    exp_dir = str(work / "exp")
+    synth_corpus(data_dir, n_spk=4, n_utt=6, seconds=1.2)
+    feat_dir = os.path.join(exp_dir, "feats")
+    recipe.run_features(data_dir, feat_dir, batch=4, dither=0.0)
+    recipe.run_split(feat_dir, data_dir, min_frames=50, cv_fraction=0.25,
+                     seed=0)
+
+    worker = work / "cli_worker.py"
+    worker.write_text(CLI_WORKER.format(repo=REPO))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", str(port), str(work)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    # rank-0 wrote the checkpoint; per-process arks partition the corpus
+    from pkr_tpu.io import load_text_vec_ark
+
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints", "latest"))
+    e0 = load_text_vec_ark(os.path.join(exp_dir, "train.iv.0"))
+    e1 = load_text_vec_ark(os.path.join(exp_dir, "train.iv.1"))
+    assert not (set(e0) & set(e1)), "hosts extracted overlapping utterances"
+    train_scp = {l.split()[0] for l in
+                 open(os.path.join(feat_dir, "train", "feats.scp"))}
+    assert set(e0) | set(e1) == train_scp
+    for v in list(e0.values()) + list(e1.values()):
+        assert np.isfinite(v).all()
