@@ -618,6 +618,17 @@ def write_text_vec_ark(path, items: Dict[str, np.ndarray] | Iterator[Tuple[str, 
 
 
 def load_text_vec_ark(path) -> Dict[str, np.ndarray]:
+    """Load a text embedding ark; a base path whose file is absent but has
+    per-process shards '<path>.0', '<path>.1', ... (multi-host run_extract
+    output) loads and merges the shards."""
+    if isinstance(path, str) and not os.path.exists(path):
+        out: Dict[str, np.ndarray] = {}
+        i = 0
+        while os.path.exists(f"{path}.{i}"):
+            out.update(read_text_vec_ark(f"{path}.{i}"))
+            i += 1
+        if i:
+            return out
     return {k: v for k, v in read_text_vec_ark(path)}
 
 

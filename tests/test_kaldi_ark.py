@@ -291,3 +291,16 @@ def test_bare_writes_truncate_keyed_writes_append(tmp_path):
     got = dict(ka.read_mat_ark(a))
     np.testing.assert_array_equal(got["u1"], m1)
     np.testing.assert_array_equal(got["u2"], m2)
+
+
+def test_load_text_vec_ark_merges_process_shards(tmp_path):
+    """A missing base path with '<path>.0/.1' shards (multi-host extraction
+    output) loads the union transparently."""
+    a = {"u1": np.arange(3, dtype=np.float32)}
+    b = {"u2": np.arange(3, 6, dtype=np.float32)}
+    base = str(tmp_path / "emb.iv")
+    ka.write_text_vec_ark(base + ".0", a)
+    ka.write_text_vec_ark(base + ".1", b)
+    got = ka.load_text_vec_ark(base)
+    assert set(got) == {"u1", "u2"}
+    np.testing.assert_array_equal(got["u2"], b["u2"])
