@@ -259,7 +259,7 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
         # spans 8 GPUs): each host's loader yields its 1/P share and the
         # train loop assembles the global batch across processes
         batch = max(1, batch // jax.process_count())
-        if split == "cv" and len(sampler) < batch:
+        if split == "cv" and len(sampler) // jax.process_count() < batch:
             # fewer cv utts than the mesh-divisible minimum (e.g. 5 utts on
             # an 8-chip mesh): tile indices up to one full batch — a few
             # double-counted utterances beat zero validation batches (which
@@ -341,8 +341,8 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
                        profile_steps=cfg.train.profile_steps,
                        save_every_steps=cfg.train.save_every_steps,
                        on_step_save=(lambda st: save_checkpoint(
-                           ckpt_dir, st, keep_last=max(
-                               cfg.train.keep_last_checkpoints, 2)))
+                           ckpt_dir, st,
+                           keep_last=cfg.train.keep_last_checkpoints))
                        if cfg.train.save_every_steps else None)
     from pkr_tpu.train.checkpoint import wait_for_checkpoints
 
@@ -386,6 +386,18 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
 
         mesh = make_mesh(n_data=jax.local_device_count(), n_model=1,
                          devices=jax.local_devices())
+    if pc > 1:
+        # clear a stale single-host ark and shards from a wider old run —
+        # the merge loader would otherwise prefer/mix stale embeddings
+        if pi == 0:
+            for stale in [os.path.join(exp_dir, out_name)] + [
+                    os.path.join(exp_dir, f"{out_name}.{i}")
+                    for i in range(pc, 64)]:
+                if os.path.exists(stale):
+                    os.unlink(stale)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"extract-clean-{out_name}")
     embs = extract_embeddings(model, variables, loader, mesh=mesh)
     out = out_name if pc == 1 else f"{out_name}.{pi}"
     write_text_vec_ark(os.path.join(exp_dir, out), embs)
@@ -443,8 +455,17 @@ def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
     else:
         scores = cosine_scores(enroll, test, pairs, mean)
         if backend == "snorm":
+            from pkr_tpu.eval.scoring import speaker_means
+
             assert cohort_vecs is not None, "snorm needs a cohort ark"
-            cohort = np.stack(list(cohort_vecs.values()))
+            # the reference's cohort is PER-SPEAKER means of the training
+            # embeddings (compute_mean_byspk → compute_topk_mean_std,
+            # run_aam_v2.sh:139-174), not raw utterance vectors
+            if cohort_utt2spk:
+                cohort = np.stack(list(
+                    speaker_means(cohort_vecs, cohort_utt2spk).values()))
+            else:
+                cohort = np.stack(list(cohort_vecs.values()))
             e_stats = cohort_topk_stats(enroll, cohort, cfg.eval.topk, mean)
             t_stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
             scores = adaptive_snorm(scores, pairs, e_stats, t_stats)
@@ -533,14 +554,27 @@ def main(argv=None):
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
 
     pools = None
-    if args.musan_dir:
+    if args.musan_dir and 1 in _stage_range(args):
         from pkr_tpu.recipes.augment_dir import AugmentPools
         from pkr_tpu.recipes.voxceleb import make_musan
 
         pools = AugmentPools.load(make_musan(args.musan_dir),
                                   seed=cfg.train.seed)
 
+    import jax
+
+    multi = jax.process_count() > 1
+    # stages 0/1/2/5/6 are host-side file work: in a multi-host run rank 0
+    # does them once on the shared exp dir; stages 3/4 are collective (all
+    # processes participate).  The barrier after each stage keeps ranks in
+    # lockstep — without it rank 0 could score a half-written shard set.
+    HOST_ONLY = {0, 1, 2, 5, 6}
     for stage in _stage_range(args):
+        if multi and stage in HOST_ONLY and jax.process_index() != 0:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"stage-{stage}")
+            continue
         if stage == 0:
             from pkr_tpu.io import DataDir
 
@@ -595,6 +629,11 @@ def main(argv=None):
                             cohort_utt2spk=cohort_u2s,
                             enroll_spk2utt=enroll_s2u)
             print(json.dumps(res, indent=2))
+        if multi and (stage in HOST_ONLY and jax.process_index() == 0
+                      or stage not in HOST_ONLY):
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"stage-{stage}")
     return 0
 
 

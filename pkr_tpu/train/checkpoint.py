@@ -24,6 +24,7 @@ from pkr_tpu.train.state import TrainState
 
 _ASYNC_CKPTR = None
 _COMMIT_THREAD = None
+_EPILOGUE_ERROR = None
 
 
 def _ckptr():
@@ -39,11 +40,18 @@ def _ckptr():
 
 def wait_for_checkpoints() -> None:
     """Block until any in-flight async save has committed (including its
-    'latest' marker + pruning epilogue)."""
+    'latest' marker + pruning epilogue).  Re-raises an epilogue failure
+    (disk full mid-best-copy, ...) that happened on the commit thread —
+    otherwise a failed marker write would be invisible and resume would
+    silently restart from an older epoch."""
+    global _EPILOGUE_ERROR
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
     if _COMMIT_THREAD is not None:
         _COMMIT_THREAD.join()
+    if _EPILOGUE_ERROR is not None:
+        err, _EPILOGUE_ERROR = _EPILOGUE_ERROR, None
+        raise err
 
 
 def _parse_ckpt_name(d: str) -> Optional[Tuple[int, int]]:
@@ -143,29 +151,40 @@ def save_checkpoint(path: str, state: TrainState, is_best: bool = False,
     rank0 = jax.process_index() == 0
 
     def epilogue():
-        ck.wait_until_finished()  # Orbax tmp-dir rename has happened
-        if not rank0:
-            return  # marker/best/prune are rank-0 filesystem actions
-        with open(os.path.join(path, "latest"), "w") as f:
-            f.write(name)
-        if is_best:
-            best = os.path.join(path, "best")
-            if os.path.exists(best):
-                shutil.rmtree(best)
-            shutil.copytree(target, best)
-        if keep_last > 0:
-            entries = [(key, d) for d in os.listdir(path)
-                       if (key := _parse_ckpt_name(d)) is not None]
-            for _, old in sorted(entries, reverse=True)[keep_last:]:
-                if old != name:  # never the just-committed target
-                    shutil.rmtree(os.path.join(path, old),
-                                  ignore_errors=True)
+        global _EPILOGUE_ERROR
+        try:
+            ck.wait_until_finished()  # Orbax tmp-dir rename has happened
+            if rank0:  # marker/best/prune are rank-0 filesystem actions
+                with open(os.path.join(path, "latest"), "w") as f:
+                    f.write(name)
+                if is_best:
+                    best = os.path.join(path, "best")
+                    if os.path.exists(best):
+                        shutil.rmtree(best)
+                    shutil.copytree(target, best)
+                if keep_last > 0:
+                    entries = [(key, d) for d in os.listdir(path)
+                               if (key := _parse_ckpt_name(d)) is not None]
+                    for _, old in sorted(entries, reverse=True)[keep_last:]:
+                        if old != name:  # never the just-committed target
+                            shutil.rmtree(os.path.join(path, old),
+                                          ignore_errors=True)
+        except Exception as exc:  # surfaced by the next wait_for_checkpoints
+            _EPILOGUE_ERROR = exc
+        if multi:
+            # other ranks must not race ahead (restore 'best', probe the
+            # next versioned name) while rank 0 is still mutating the dir
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt-epilogue-{name}")
 
     if is_best or sync or multi:
         # multi: the commit barrier needs all processes — run inline so no
         # process races ahead into the next collective while others save
         epilogue()
         _COMMIT_THREAD = None
+        if _EPILOGUE_ERROR is not None:
+            wait_for_checkpoints()  # re-raise
     else:
         _COMMIT_THREAD = threading.Thread(target=epilogue, daemon=True)
         _COMMIT_THREAD.start()
@@ -267,7 +286,10 @@ def import_torch_checkpoint(state_dict: Dict[str, Any], variables: Dict[str, Any
     n_loaded = 0
     for name, value in state_dict.items():
         arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-        mapped = _torch_name_to_flax(name)
+        try:
+            mapped = _torch_name_to_flax(name)
+        except (KeyError, ValueError, IndexError):
+            mapped = None  # malformed/unknown key shapes: skip, don't abort
         if mapped is None:
             if verbose and not name.endswith("num_batches_tracked"):
                 print(f"{name} is not in the model.")
@@ -316,9 +338,11 @@ def load_pretrained_variables(path: str, variables: Dict[str, Any],
         if target is None:
             return variables
     else:
-        target = os.path.join(path, which)
-        if not os.path.exists(target):  # fall back to the latest save
-            target = _resolve_target(path, "latest")
+        target = os.path.join(path, which)  # 'best' or an arbitrary name
+        if not os.path.exists(target):
+            target = _resolve_target(path, which)  # epoch-number resolution
+        if target is None or not os.path.exists(target):
+            target = _resolve_target(path, "latest")  # fall back to latest
             if target is None:
                 return variables
     raw = _ckptr().restore(target)  # raw pytree (nested dicts)
