@@ -139,7 +139,7 @@ def main():
                           chunk_size=(200,), seed=0, print_freq=20,
                           device_cache=True),
         eval=EvalConfig(backend="snorm", bucket_quantum=100, max_len=700,
-                        batch_size=32),
+                        batch_size=32, topk=12),
     )
 
     exp = os.path.join(args.root, "exp")
