@@ -27,7 +27,6 @@ class ModelConfig:
     emb_dim: int = 256
     margin: float = 0.2  # run_aam_v2.sh:32
     scale: float = 30.0  # run_aam_v2.sh:33
-    spk_num: int = 0  # filled from num_spk
 
 
 @dataclass(frozen=True)

@@ -131,8 +131,13 @@ class WavAugmenter:
                  music: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  speech: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  rirs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 seed: int = 0):
-        """Each pool is (padded matrix (K, L), lengths (K,))."""
+                 seed: int = 0, snr: Optional[dict] = None):
+        """Each pool is (padded matrix (K, L), lengths (K,)).  `snr`
+        overrides the per-kind SNR grids (DataConfig.snr_*)."""
+        if snr:
+            self.SNR = {**type(self).SNR,
+                        **{k: tuple(float(x) for x in v)
+                           for k, v in snr.items()}}
         self.pools = {}
         self._host_lens = {}
         for name, p in (("noise", noise), ("music", music),

@@ -43,7 +43,10 @@ class BalancedRepetitionSampler:
         counts: Dict[int, int] = {}
         for l in labels:
             counts[int(l)] = counts.get(int(l), 0) + 1
-        cap = min(max_per_class, (max(counts.values()) + 1) // 2)
+        # empty split (a tiny corpus whose cv fraction rounds to zero):
+        # yield zero batches instead of crashing in max()
+        cap = min(max_per_class,
+                  (max(counts.values()) + 1) // 2) if counts else 0
         idx: List[int] = []
         for i, l in enumerate(labels):
             idx.extend([i] * max(1, cap // counts[int(l)]))
@@ -79,7 +82,7 @@ class SpeakerBalancedSampler:
         self.by_spk = {k: np.asarray(v, np.int64) for k, v in self.by_spk.items()}
         self.spk_list = np.asarray(sorted(self.by_spk), np.int64)
         counts = [len(v) for v in self.by_spk.values()]
-        self.repetition = (max(counts) + 1) // 2
+        self.repetition = (max(counts) + 1) // 2 if counts else 0
 
     @property
     def num_spk(self) -> int:

@@ -668,7 +668,7 @@ def read_post(file_or_fd) -> list:
 
 def write_post(file_or_fd, post: list, key: str = "") -> None:
     """Write a binary Kaldi Posterior (inverse of read_post)."""
-    fd = open_or_fd(file_or_fd, "wb")
+    fd = open_or_fd(file_or_fd, "ab" if key else "wb")  # see write_vec_int
     try:
         if key:
             fd.write((key + " ").encode("latin1"))

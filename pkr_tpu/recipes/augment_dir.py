@@ -94,7 +94,8 @@ class AugmentPools:
     """MUSAN/RIR waveform pools, padded to fixed lengths for device mixing."""
 
     def __init__(self, noise=None, music=None, speech=None, rirs=None,
-                 seed: int = 0):
+                 seed: int = 0, snr: Optional[dict] = None):
+        self.snr = snr
         self.pools: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         if noise is not None:
             self.pools["noise"] = noise
@@ -152,7 +153,8 @@ class AugmentPools:
             self._augmenter = WavAugmenter(
                 noise=self.pools.get("noise"), music=self.pools.get("music"),
                 speech=self.pools.get("babble"), rirs=self.rirs,
-                seed=int(self.rng.integers(2 ** 31)))
+                seed=int(self.rng.integers(2 ** 31)),
+                snr=getattr(self, "snr", None))
         return self._augmenter
 
     def apply(self, wav: np.ndarray, length: int, kind: str) -> np.ndarray:

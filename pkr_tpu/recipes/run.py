@@ -390,9 +390,14 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
         # clear a stale single-host ark and shards from a wider old run —
         # the merge loader would otherwise prefer/mix stale embeddings
         if pi == 0:
-            for stale in [os.path.join(exp_dir, out_name)] + [
-                    os.path.join(exp_dir, f"{out_name}.{i}")
-                    for i in range(pc, 64)]:
+            import glob as _glob
+
+            stale_paths = [os.path.join(exp_dir, out_name)]
+            for p in _glob.glob(os.path.join(exp_dir, f"{out_name}.*")):
+                suffix = p.rsplit(".", 1)[1]
+                if suffix.isdigit() and int(suffix) >= pc:
+                    stale_paths.append(p)
+            for stale in stale_paths:
                 if os.path.exists(stale):
                     os.unlink(stale)
         from jax.experimental import multihost_utils
@@ -470,6 +475,11 @@ def run_score(cfg, exp_dir: str, trials_path: str, enroll_ark: str,
             t_stats = cohort_topk_stats(test, cohort, cfg.eval.topk, mean)
             scores = adaptive_snorm(scores, pairs, e_stats, t_stats)
     write_scores(os.path.join(exp_dir, "scores.txt"), pairs, scores)
+    if not labels:  # pairs-only trial list: scores written, no metrics
+        results = {"n_trials": len(pairs)}
+        with open(os.path.join(exp_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        return results
     results = {"eer": compute_eer(scores.tolist(), labels)}
     for p in cfg.eval.p_targets:
         results[f"min_dcf_p{p}"], _ = compute_min_dcf(scores.tolist(), labels, p)
@@ -554,12 +564,16 @@ def main(argv=None):
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
 
     pools = None
-    if args.musan_dir and 1 in _stage_range(args):
+    if args.musan_dir and cfg.data.augment and 1 in _stage_range(args):
         from pkr_tpu.recipes.augment_dir import AugmentPools
         from pkr_tpu.recipes.voxceleb import make_musan
 
         pools = AugmentPools.load(make_musan(args.musan_dir),
                                   seed=cfg.train.seed)
+        # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults)
+        pools.snr = {"noise": cfg.data.snr_noise,
+                     "music": cfg.data.snr_music,
+                     "babble": cfg.data.snr_babble}
 
     import jax
 

@@ -124,13 +124,44 @@ def make_train_step(model, tx=None,
     return tx, train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, flash_aam: bool = False,
+                   flash_interpret: Optional[bool] = None, mesh=None):
+    """flash_aam routes the validation loss through the flash classifier
+    too: the dense head would materialize (B, n_spk) logits and several
+    same-sized temporaries — at the 1M-speaker scale the flash TRAIN path
+    exists for, the first cv pass would OOM the chip.  Top-k metrics are
+    unavailable in that mode (n1/n5 report -1 per example, so acc1 = -1,
+    and best-tracking falls back to cv loss)."""
+    if flash_interpret is None:
+        flash_interpret = jax.default_backend() != "tpu"
+    flash_loss_fn = None
+    if flash_aam and mesh is not None:
+        from pkr_tpu.ops.flash_aam import make_flash_aam_sharded
+
+        flash_loss_fn = make_flash_aam_sharded(
+            mesh, model.spk_num, model.m, model.s, interpret=flash_interpret)
+
     @jax.jit
     def eval_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray):
+        bsz = labels.shape[0]
+        if flash_aam:
+            from pkr_tpu.models.speaker_model import SpeakerModel
+            from pkr_tpu.ops.flash_aam import flash_aam_loss
+
+            emb = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats, None, False, method=SpeakerModel.embed)
+            if flash_loss_fn is not None:
+                loss = flash_loss_fn(emb, state.params["aam_weight"], labels)
+            else:
+                loss = flash_aam_loss(emb, state.params["aam_weight"], labels,
+                                      model.m, model.s, 2048, flash_interpret)
+            no_metric = jnp.asarray(-float(bsz), jnp.float32)
+            return {"loss": loss * bsz, "n1": no_metric, "n5": no_metric,
+                    "n": jnp.asarray(bsz, jnp.float32)}
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             feats, labels, train=False)
-        bsz = labels.shape[0]
         return {
             "loss": cross_entropy(logits, labels) * bsz,
             "n1": topk_correct(logits, labels, 1),
@@ -169,7 +200,7 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
     tx, train_step = make_train_step(model, None, momentum=momentum,
                                      weight_decay=weight_decay,
                                      flash_aam=flash_aam, mesh=mesh)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, flash_aam=flash_aam, mesh=mesh)
     schedule = cosine_epoch_lr(lr0, epochs, lr_final)
     batch_shard = None
     if mesh is not None:
@@ -186,6 +217,10 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 batch_shard, np.asarray(x))
         return jax.device_put(x, batch_shard)
 
+    if flash_aam and float(state.best_acc1) == 0.0:
+        # flash mode tracks best by NEGATIVE cv loss; a fresh state's 0.0
+        # would otherwise never be beaten (losses are positive)
+        state = state.replace(best_acc1=jnp.asarray(-jnp.inf, jnp.float32))
     # host-side mirror of state.step: int(state.step) would force a
     # host-device sync on the just-dispatched step EVERY iteration,
     # serializing the async pipeline for the whole run
@@ -233,10 +268,14 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         log.log(f"epoch {epoch} CV: loss={cv_loss:.4f} acc1={acc1:.4f} "
                 f"acc5={acc5:.4f}",
                 epoch=epoch, loss=cv_loss, acc1=acc1, acc5=acc5)
-        is_best = acc1 > float(state.best_acc1)
+        # flash mode has no cv accuracy: track best by cv LOSS (negated so
+        # best_acc1's 'higher is better' semantics and resume state hold)
+        metric = -cv_loss if flash_aam else acc1
+        is_best = metric > float(state.best_acc1)
         state = state.replace(
             epoch=jnp.asarray(epoch + 1, jnp.int32),
-            best_acc1=jnp.maximum(state.best_acc1, jnp.asarray(acc1, jnp.float32)))
+            best_acc1=jnp.maximum(state.best_acc1,
+                                  jnp.asarray(metric, jnp.float32)))
         if on_epoch_end is not None:
             on_epoch_end(state, epoch, {"acc1": acc1, "acc5": acc5,
                                         "loss": cv_loss, "is_best": is_best})

@@ -289,3 +289,37 @@ def test_nan_guard_protects_batch_stats():
     for new, old in zip(jax.tree.leaves(s1.params),
                         jax.tree.leaves(state0.params)):
         np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+
+
+def test_flash_validation_avoids_dense_head():
+    """flash_aam=True must flow through validation too — the dense eval head
+    would materialize (B, n_spk) temporaries, the exact OOM the flash train
+    path avoids at 1M speakers.  Best-tracking falls back to cv loss."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import make_eval_step, train_and_validate
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=12, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM", dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    feats = rng.standard_normal((8, 8, 16)).astype(np.float32)
+    labels = np.arange(8) % 12
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.asarray(feats), jnp.asarray(labels))
+
+    # eval step: flash loss equals the dense CE+margin loss
+    dense = make_eval_step(model)(state, jnp.asarray(feats), jnp.asarray(labels))
+    flash = make_eval_step(model, flash_aam=True, flash_interpret=True)(
+        state, jnp.asarray(feats), jnp.asarray(labels))
+    assert abs(float(dense["loss"]) - float(flash["loss"])) < 1e-3
+    assert float(flash["n1"]) == -8.0  # no top-k in flash mode
+
+    class L:
+        def epoch(self, e):
+            yield feats, labels
+
+    out = train_and_validate(model, state, L(), L(), epochs=2, lr0=0.05,
+                             flash_aam=True, print_freq=1000)
+    # best metric is NEGATIVE cv loss in flash mode
+    assert float(out.best_acc1) < 0.0
+    assert np.isfinite(float(out.best_acc1))

@@ -51,7 +51,6 @@ def test_run_jobs_retries(tmp_path):
 def test_presets_build():
     for name, make in PRESETS.items():
         cfg = make()
-        assert cfg.model.spk_num == 0  # filled later from data
         assert cfg.train.epochs > 0
     assert PRESETS["aam_v2"]().model.loss == "AAM"
     assert PRESETS["aam_v2"]().model.margin == 0.2
