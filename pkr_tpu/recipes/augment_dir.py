@@ -119,7 +119,8 @@ class AugmentPools:
     @staticmethod
     def load(datadirs: Dict[str, DataDir], rir_wavs: Optional[List[np.ndarray]] = None,
              max_len_sec: float = 6.0, rate: int = 16000,
-             max_items: int = 200, seed: int = 0) -> "AugmentPools":
+             max_items: int = 200, seed: int = 0,
+             snr: Optional[dict] = None) -> "AugmentPools":
         """Read pool audio from MUSAN-style data dirs (make_musan output)."""
         from pkr_tpu.io.wav import read_wav
 
@@ -141,7 +142,8 @@ class AugmentPools:
         if rir_wavs:
             rirs = AugmentPools.from_wavs(rir_wavs, int(0.5 * rate))
         return AugmentPools(noise=kw.get("noise"), music=kw.get("music"),
-                            speech=kw.get("speech"), rirs=rirs, seed=seed)
+                            speech=kw.get("speech"), rirs=rirs, seed=seed,
+                            snr=snr)
 
     @property
     def augmenter(self):
@@ -154,7 +156,7 @@ class AugmentPools:
                 noise=self.pools.get("noise"), music=self.pools.get("music"),
                 speech=self.pools.get("babble"), rirs=self.rirs,
                 seed=int(self.rng.integers(2 ** 31)),
-                snr=getattr(self, "snr", None))
+                snr=self.snr)
         return self._augmenter
 
     def apply(self, wav: np.ndarray, length: int, kind: str) -> np.ndarray:

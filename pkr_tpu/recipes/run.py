@@ -64,6 +64,10 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
 
     dd = DataDir.load(data_dir)
     utt2aug = dd.get("utt2aug")
+    if pools is None and any(k != "none" for k in utt2aug.values()):
+        print(f"WARNING: {data_dir} has utt2aug entries but no augmentation "
+              "pools were given — the augmented-named copies will get CLEAN "
+              "features (exact duplicates of their source utterances)")
     utt2speed = dd.get("utt2speed")
     utt2warp = dd.get("utt2warp")  # per-utterance VTLN (make_fbank.sh:74-80)
     if frontend is not None:
@@ -568,12 +572,12 @@ def main(argv=None):
         from pkr_tpu.recipes.augment_dir import AugmentPools
         from pkr_tpu.recipes.voxceleb import make_musan
 
-        pools = AugmentPools.load(make_musan(args.musan_dir),
-                                  seed=cfg.train.seed)
         # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults)
-        pools.snr = {"noise": cfg.data.snr_noise,
-                     "music": cfg.data.snr_music,
-                     "babble": cfg.data.snr_babble}
+        pools = AugmentPools.load(make_musan(args.musan_dir),
+                                  seed=cfg.train.seed,
+                                  snr={"noise": cfg.data.snr_noise,
+                                       "music": cfg.data.snr_music,
+                                       "babble": cfg.data.snr_babble})
 
     import jax
 

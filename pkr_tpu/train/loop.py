@@ -48,7 +48,8 @@ def make_train_step(model, tx=None,
     Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
     never materialize — the scaling path for very large speaker counts.
     Train-time top-k metrics are unavailable in that mode (reported as -1);
-    validation still uses the dense head.
+    validation routes through the flash loss too (make_eval_step) and best
+    tracking falls back to cv loss.
 
     mesh (with flash_aam) composes the Pallas loss with the device mesh via
     shard_map — class weight sharded over 'model' when spk_num divides that
@@ -56,6 +57,11 @@ def make_train_step(model, tx=None,
     Without it a pallas_call inside pjit cannot be partitioned over a
     sharded batch."""
     tx = tx or make_optimizer(momentum, weight_decay)
+    if flash_aam:
+        assert model.loss == "AAM", (
+            f"flash_aam implements the plain AAM head; model.loss="
+            f"{model.loss!r} ('AAM-v1' adds a bn1+ReLU the flash kernel "
+            f"does not apply)")
     if flash_interpret is None:  # Pallas compiles only on TPU; interpret on CPU
         flash_interpret = jax.default_backend() != "tpu"
     flash_loss_fn = None
@@ -132,6 +138,8 @@ def make_eval_step(model, flash_aam: bool = False,
     exists for, the first cv pass would OOM the chip.  Top-k metrics are
     unavailable in that mode (n1/n5 report -1 per example, so acc1 = -1,
     and best-tracking falls back to cv loss)."""
+    if flash_aam:
+        assert model.loss == "AAM", f"flash_aam needs loss='AAM', got {model.loss!r}"
     if flash_interpret is None:
         flash_interpret = jax.default_backend() != "tpu"
     flash_loss_fn = None
@@ -217,9 +225,10 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 batch_shard, np.asarray(x))
         return jax.device_put(x, batch_shard)
 
-    if flash_aam and float(state.best_acc1) == 0.0:
-        # flash mode tracks best by NEGATIVE cv loss; a fresh state's 0.0
-        # would otherwise never be beaten (losses are positive)
+    if flash_aam and float(state.best_acc1) >= 0.0:
+        # flash mode tracks best by NEGATIVE cv loss: reset anything in
+        # accuracy-space (a fresh 0.0 OR a resumed dense-run accuracy) —
+        # positive values would never be beaten by a negated loss
         state = state.replace(best_acc1=jnp.asarray(-jnp.inf, jnp.float32))
     # host-side mirror of state.step: int(state.step) would force a
     # host-device sync on the just-dispatched step EVERY iteration,
@@ -269,8 +278,11 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 f"acc5={acc5:.4f}",
                 epoch=epoch, loss=cv_loss, acc1=acc1, acc5=acc5)
         # flash mode has no cv accuracy: track best by cv LOSS (negated so
-        # best_acc1's 'higher is better' semantics and resume state hold)
+        # best_acc1's 'higher is better' semantics and resume state hold);
+        # a non-finite cv loss must not poison the running max
         metric = -cv_loss if flash_aam else acc1
+        if not np.isfinite(metric):
+            metric = -np.inf
         is_best = metric > float(state.best_acc1)
         state = state.replace(
             epoch=jnp.asarray(epoch + 1, jnp.int32),
