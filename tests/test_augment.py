@@ -202,3 +202,24 @@ def test_tiled_cache_eviction_does_not_break_augmentation():
     wavs0, _ = outs[n0]
     again = aug(wavs0.copy(), np.array([n0, n0]), kinds=["none", "none"])
     np.testing.assert_array_equal(again, wavs0)
+
+
+def test_config_snr_grids_reach_the_augmenter():
+    """DataConfig.snr_* must actually flow into WavAugmenter (they were
+    silent no-ops before round 2's wiring)."""
+    from pkr_tpu.recipes.augment_dir import AugmentPools
+
+    rng = np.random.default_rng(13)
+    pool = ([rng.standard_normal(1000).astype(np.float32) * 50
+             for _ in range(2)])
+    pools = AugmentPools(noise=AugmentPools.from_wavs(pool, 1000),
+                         snr={"noise": (33.0, 22.0)})
+    assert pools.augmenter.SNR["noise"] == (33.0, 22.0)
+    # untouched kinds keep the reference defaults
+    assert pools.augmenter.SNR["music"] == (15.0, 10.0, 8.0, 5.0)
+    # the drawn plan only uses grid values
+    wavs = (rng.standard_normal((6, 2000)) * 100).astype(np.float32)
+    aug = pools.augmenter
+    codes = np.ones(6, np.int32)
+    src, starts, snrs, n_src = aug._draw_plan(codes, ["noise"])
+    assert set(np.unique(snrs[:, 0])) <= {33.0, 22.0}
