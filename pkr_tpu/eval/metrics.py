@@ -29,6 +29,13 @@ def compute_error_rates(scores: Sequence[float], labels: Sequence[int]
     """
     scores = np.asarray(scores, dtype=np.float64)
     labels = np.asarray(labels, dtype=np.float64)
+    n_tgt = int(labels.sum())
+    if n_tgt == 0 or n_tgt == len(labels):
+        # zero division below would yield all-NaN curves and an opaque
+        # 'All-NaN slice' crash inside compute_eer's nanargmin
+        raise ValueError(
+            f"trials contain {n_tgt} target / {len(labels) - n_tgt} "
+            "nontarget pairs — EER/minDCF need at least one of each")
     order = np.argsort(scores, kind="stable")
     thresholds = scores[order]
     sorted_labels = labels[order]
