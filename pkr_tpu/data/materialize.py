@@ -2,9 +2,10 @@
 
 The reference ships scripts/prepare_data.py (scp → per-utterance torch.save
 files + lengths.pkl, kept commented-out in run.sh:198-204) as an optional
-faster input path.  Here the equivalent is a single flat float32 (or uint8
-CM-quantized) memmap plus a JSON index — one file, O(1) open cost, and the
-training loader reads crops with zero deserialization.
+faster input path.  Here the equivalent is a single flat float32/float16
+memmap plus a JSON index — one file, O(1) open cost, and the training
+loader reads crops with zero deserialization.  (For uint8 CM-quantized
+storage use pkr_tpu.data.device_cache, which keeps the codes in HBM.)
 """
 
 from __future__ import annotations
@@ -25,6 +26,11 @@ def materialize(scp_path: str, out_prefix: str, dtype: str = "float16") -> str:
     """
     from pkr_tpu.io import kaldi_ark
 
+    if dtype not in ("float32", "float16"):
+        raise ValueError(
+            f"dtype {dtype!r} unsupported: a raw cast would corrupt "
+            "features (negative fbank values wrap in integer dtypes); use "
+            "'float32'/'float16', or data.device_cache for CM quantization")
     entries = []
     offset = 0
     np_dtype = np.dtype(dtype)
@@ -38,7 +44,8 @@ def materialize(scp_path: str, out_prefix: str, dtype: str = "float16") -> str:
             entries.append({"utt": utt, "rows": int(arr.shape[0]),
                             "cols": int(arr.shape[1]), "offset": offset})
             offset += arr.nbytes
-    json.dump({"dtype": dtype, "entries": entries}, open(idx_path, "w"))
+    with open(idx_path, "w") as f:
+        json.dump({"dtype": dtype, "entries": entries}, f)
     return idx_path
 
 
@@ -51,7 +58,10 @@ class MaterializedSource:
         self.entries = idx["entries"]
         self.utts = [e["utt"] for e in self.entries]
         bin_path = index_path[: -len(".json")] + ".bin"
-        self._mm = np.memmap(bin_path, dtype=self.dtype, mode="r")
+        if self.entries:
+            self._mm = np.memmap(bin_path, dtype=self.dtype, mode="r")
+        else:  # an empty pack can't be mmap'd; behave like an empty scp
+            self._mm = np.empty((0,), self.dtype)
         self._item = self.dtype.itemsize
 
     def __len__(self):
@@ -65,7 +75,10 @@ class MaterializedSource:
         e = self.entries[i]
         start = e["offset"] // self._item
         mat = self._mm[start:start + e["rows"] * e["cols"]]
-        return np.asarray(mat, np.float32).reshape(e["rows"], e["cols"])
+        out = np.asarray(mat, np.float32).reshape(e["rows"], e["cols"])
+        # float32 packs view the read-only memmap zero-copy; hand callers a
+        # writable array like FeatureSource.read does
+        return out if out.flags.writeable else out.copy()
 
     def read_crop_t(self, i: int, row_start: int, n_rows: int,
                     out: Optional[np.ndarray] = None) -> np.ndarray:

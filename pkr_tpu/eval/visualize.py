@@ -46,7 +46,8 @@ def tsne_project(mat: np.ndarray, dim: int = 2, perplexity: float = 20.0,
     n = mat.shape[0]
     rng = np.random.default_rng(seed)
     x = mat - mat.mean(axis=0)
-    d2 = np.square(x[:, None, :] - x[None, :, :]).sum(-1)
+    sq = np.sum(x * x, axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
 
     # binary-search per-point bandwidths to hit the target perplexity
     target = np.log(perplexity)
@@ -102,15 +103,20 @@ def plot_embeddings(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
         import matplotlib.pyplot as plt
     except ImportError:
         return None
-    keys = list(vecs)
+    if method not in ("tsne", "pca"):
+        raise ValueError(f"method {method!r} not in ('tsne', 'pca')")
+    # segment keys ('utt##0') or filtered dirs can lack a speaker mapping
+    keys = [k for k in vecs if k in utt2spk or k.rsplit("##", 1)[0] in utt2spk]
+    spk_of = {k: utt2spk.get(k, utt2spk.get(k.rsplit("##", 1)[0]))
+              for k in keys}
     if len(keys) > max_points:
         rng = np.random.default_rng(seed)
         keys = [keys[i] for i in rng.choice(len(keys), max_points, replace=False)]
     mat = np.stack([vecs[k] for k in keys])
     proj = tsne_project(mat, seed=seed) if method == "tsne" else pca_project(mat)
-    spks = sorted({utt2spk[k] for k in keys})
+    spks = sorted({spk_of[k] for k in keys})
     spk_idx = {s: i for i, s in enumerate(spks)}
-    colors = [spk_idx[utt2spk[k]] for k in keys]
+    colors = [spk_idx[spk_of[k]] for k in keys]
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.scatter(proj[:, 0], proj[:, 1], c=colors, cmap="tab20", s=12)
     ax.set_title(f"{method.upper()} of {len(keys)} embeddings / {len(spks)} speakers")
