@@ -62,8 +62,13 @@ def sliding_cmvn(feats: jnp.ndarray, mask: jnp.ndarray, window: int = 300,
         start = jnp.maximum(start, 0)
     else:
         start = jnp.maximum(0, t - window)
-        end = jnp.maximum(t + 1, jnp.minimum(min_window,
-                                             n_valid.astype(jnp.int32)))
+        # Kaldi extends the window to min_window ONLY when the causal start
+        # was clamped below 0 (t < window): the right-shift leaves
+        # window_end = window+1, then end = max(t+1, min(window+1,
+        # min_window)).  Frames with t >= window keep end = t+1 even when
+        # t+1 < min_window (possible when cmn_window < min_window).
+        ext = jnp.maximum(t + 1, jnp.minimum(min_window, window + 1))
+        end = jnp.where(t - window < 0, ext, t + 1)
     end = jnp.minimum(end, n_valid.astype(jnp.int32))
     start = jnp.minimum(start, end)
 

@@ -192,8 +192,16 @@ def read_vec_int(file_or_fd) -> np.ndarray:
 
 
 def write_vec_int(file_or_fd, v: np.ndarray, key: str = "") -> None:
-    # keyed → append (building an ark by repeated calls); bare → truncate
-    # (a single-object file must not silently accumulate stale copies)
+    """Write one int vector.
+
+    Open-mode contract (shared by write_vec_flt/write_mat/write_post):
+    a KEYED write to a path APPENDS — the ark-building idiom is repeated
+    calls against one growing file, so callers that rerun a script over the
+    same output path must remove/truncate the file first (or pass an fd they
+    opened themselves, which is used as-is); a keyless write to a path
+    TRUNCATES, since a single-object file accumulating stale copies would be
+    read back as the FIRST (stale) object forever.
+    """
     fd = open_or_fd(file_or_fd, "ab" if key else "wb")
     try:
         if key:

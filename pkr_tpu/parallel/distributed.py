@@ -28,6 +28,16 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["NUM_PROCESSES"])
     if coordinator_address is None and num_processes is None:
         return  # single host: nothing configured via args OR env
+    if coordinator_address is None:
+        # a stray NUM_PROCESSES without the rest of the contract would send a
+        # single-host run into jax.distributed.initialize(num_processes=N),
+        # which errors or hangs outside a managed pod — fail fast instead
+        raise RuntimeError(
+            f"NUM_PROCESSES={num_processes} is set but COORDINATOR_ADDRESS is "
+            "not — incomplete jax.distributed env contract (utils.cluster "
+            "launch_hosts/slurm_script export COORDINATOR_ADDRESS, "
+            "NUM_PROCESSES and PROCESS_ID together); unset NUM_PROCESSES for "
+            "a single-host run")
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address

@@ -265,6 +265,13 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                         step_time=meters["time"].avg)
                 t0 = time.time()
         prof.close()  # short epochs: stop an unclosed trace window
+        # resync the host mirror with the device step counter.  Today
+        # state.step advances on every dispatched batch (the nan-guard holds
+        # params/momentum/stats but not step), so this is an invariant, not
+        # a correction — it keeps the save_every_steps cadence honest if the
+        # guard semantics ever change.  Epoch boundaries already block on
+        # device work, so the int() sync costs nothing here.
+        host_step = int(state.step)
         # sharded validation
         totals = {"loss": 0.0, "n1": 0.0, "n5": 0.0, "n": 0.0}
         for feats, labels in cv_loader.epoch(epoch):

@@ -127,3 +127,18 @@ print("launched worker", pid, "sum", total, "OK")
     for pid in range(2):
         text = open(tmp_path / "log" / f"dist.{pid}.log").read()
         assert f"launched worker {pid} sum 3.0 OK" in text, text
+
+
+def test_initialize_rejects_incomplete_env_contract(monkeypatch):
+    """A stray NUM_PROCESSES without COORDINATOR_ADDRESS must fail fast with
+    a message naming the contract, not wander into
+    jax.distributed.initialize(num_processes=N) (round-2 advisor finding)."""
+    from pkr_tpu.parallel.distributed import initialize
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("NUM_PROCESSES", "4")
+    with pytest.raises(RuntimeError, match="COORDINATOR_ADDRESS"):
+        initialize()
+    # nothing configured at all -> single-host no-op
+    monkeypatch.delenv("NUM_PROCESSES", raising=False)
+    initialize()

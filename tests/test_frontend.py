@@ -270,6 +270,37 @@ def test_sliding_cmvn_noncenter_matches_kaldi_bruteforce():
     assert np.abs(np.asarray(got[0])[0]).sum() > 1e-3
 
 
+def test_sliding_cmvn_noncenter_window_below_min_window():
+    """cmn_window < min_window: Kaldi extends to min_window ONLY while the
+    causal start is clamped (t < window) — the right-shift leaves
+    window_end = window+1, clamped to min(window+1, min_window); mid-stream
+    frames t in [window, min_window) keep the plain [t-W, t+1) window
+    (round-2 advisor finding)."""
+    rng = np.random.default_rng(11)
+    T, F, W, MINW = 260, 4, 50, 100
+    x = rng.standard_normal((T, F)).astype(np.float32)
+
+    def brute(x):
+        out = np.zeros_like(x)
+        for t in range(T):
+            start, end = t - W, t + 1
+            if start < 0:  # shift right; non-center then clamps the end
+                end, start = end - start, 0
+                end = max(t + 1, min(end, MINW))
+            end = min(end, T)
+            out[t] = x[t] - x[start:end].mean(axis=0)
+        return out
+
+    got = sliding_cmvn(jnp.asarray(x), jnp.ones(T, bool), W, center=False)
+    np.testing.assert_allclose(np.asarray(got[0]), brute(x),
+                               rtol=1e-4, atol=1e-4)
+    # the frame just past the clamp regime uses W+1 frames, NOT min_window
+    t = W + 5
+    manual = x[t] - x[t - W:t + 1].mean(axis=0)
+    np.testing.assert_allclose(np.asarray(got[0])[t], manual,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_frame_signal_negative_pad_trims_front():
     """frame_shift > frame_length (pad < 0): the reference trims the front
     of the waveform (kaldi.py:74-77), it does not mirror."""
