@@ -131,9 +131,25 @@ class WavAugmenter:
                  music: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  speech: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  rirs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 seed: int = 0, snr: Optional[dict] = None):
+                 seed: int = 0, snr: Optional[dict] = None,
+                 rir_probs: Optional[np.ndarray] = None,
+                 rvb_noise: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 reverb_planner=None):
         """Each pool is (padded matrix (K, L), lengths (K,)).  `snr`
-        overrides the per-kind SNR grids (DataConfig.snr_*)."""
+        overrides the per-kind SNR grids (DataConfig.snr_*).
+
+        RIR-set extensions (reverberate_data_dir.py semantics, wired by
+        recipes.rir):
+        - rir_probs: per-RIR draw probabilities (the room→RIR two-stage
+          draw collapses to this, see recipes/rir.py docstring); uniform
+          when absent;
+        - rvb_noise: a second additive pool reserved for noises COMPOSED
+          with the reverb branch (iso/point-source RIR-set noises);
+        - reverb_planner: a recipes.rir.ReverbPlanner — when set, each
+          'reverb' row's RIR + noise draw comes from planner.draw()
+          (room-linked iso noises, fg/bg SNR cycles, max-noises-per-minute)
+          instead of the plain uniform RIR draw.
+        """
         if snr:
             self.SNR = {**type(self).SNR,
                         **{k: tuple(float(x) for x in v)
@@ -141,7 +157,7 @@ class WavAugmenter:
         self.pools = {}
         self._host_lens = {}
         for name, p in (("noise", noise), ("music", music),
-                        ("babble", speech)):
+                        ("babble", speech), ("rvb_noise", rvb_noise)):
             if p is not None:
                 self.pools[name] = (jnp.asarray(p[0], jnp.float32),
                                     jnp.asarray(p[1], jnp.int32))
@@ -150,12 +166,17 @@ class WavAugmenter:
         if rirs is not None:
             self.rirs = (jnp.asarray(rirs[0], jnp.float32),
                          jnp.asarray(rirs[1], jnp.int32))
+        self.rir_probs = None
+        if rir_probs is not None:
+            rp = np.asarray(rir_probs, np.float64)
+            self.rir_probs = rp / rp.sum()
+        self.reverb_planner = reverb_planner
         self.rng = np.random.default_rng(seed)
         self._tiled = {}   # (kind, n) -> tiled pool matrix
         self._fns = {}     # n -> jitted vmapped row dispatcher
 
     def kinds(self):
-        out = list(self.pools)
+        out = [k for k in self.pools if k != "rvb_noise"]
         if self.rirs is not None:
             out.append("reverb")
         return out
@@ -180,11 +201,14 @@ class WavAugmenter:
         S = self.MAX_BABBLE
         add_names = [k for k in names if k != "reverb"]
         kind_idx = {k: i for i, k in enumerate(add_names)}
+        has_rvb_noise = "rvb_noise" in self.pools
 
-        def batch_fn(tiled, rmats, rlens, sigs, lengths, codes,
-                     srcs, startss, snrss, n_srcs):
-            def row_fn(sig, length, code, src, starts, snrs, n_src):
-                mask = (jnp.arange(n) < length).astype(sig.dtype)
+        def batch_fn(tiled, rvb_tiled, rmats, rlens, sigs, lengths, codes,
+                     srcs, startss, snrss, sig_startss, durss, n_srcs):
+            def row_fn(sig, length, code, src, starts, snrs, sig_starts,
+                       durs, n_src):
+                ar = jnp.arange(n)
+                mask = (ar < length).astype(sig.dtype)
                 e_sig = jnp.maximum(_energy(sig, length), 1e-10)
 
                 def scaled(kind, i):
@@ -206,8 +230,44 @@ class WavAugmenter:
                     return sig + acc * mask
 
                 def reverb():
-                    return reverberate(sig, length, rmats[src[0]],
-                                       rlens[src[0]])
+                    # wav-reverberate composition: reverberated (power-
+                    # normalized) speech + additive RIR-set noises at their
+                    # fg/bg SNRs measured against the signal energy (post-
+                    # normalization wet energy == dry energy).  Columns
+                    # 1..n_src-1 of the plan arrays hold the noises; the
+                    # noise window is [sig_start, sig_start+dur) — bg/iso
+                    # noises get dur<0 = the whole utterance (circular
+                    # extension = wav-reverberate --duration repetition),
+                    # fg noises keep their own duration at a random start
+                    # (AddPointSourceNoise :219-227).
+                    wet = reverberate(sig, length, rmats[src[0]],
+                                      rlens[src[0]])
+                    if not has_rvb_noise:
+                        return wet
+
+                    def body(i, acc):
+                        on = jnp.where(i < n_src, 1.0, 0.0)
+                        t = jax.lax.dynamic_slice(
+                            rvb_tiled, (src[i], starts[i]), (1, n))[0]
+                        d = jnp.where(durs[i] < 0, length, durs[i])
+                        w = ((ar >= sig_starts[i])
+                             & (ar < sig_starts[i] + d)
+                             & (ar < length)).astype(sig.dtype)
+                        # wav-reverberate AddNoise scales by the POWER
+                        # (mean-square) ratio over each signal's own
+                        # duration — for fg noises shorter than the
+                        # utterance that differs from an energy ratio by
+                        # sqrt(d/len)
+                        n_w = jnp.maximum(jnp.sum(w), 1.0)
+                        p_n = jnp.maximum(jnp.sum((t * w) ** 2) / n_w, 1e-10)
+                        p_sig = e_sig / jnp.maximum(
+                            length.astype(sig.dtype), 1.0)
+                        scale = jnp.sqrt(
+                            p_sig / (p_n * 10.0 ** (snrs[i] / 10.0)))
+                        return acc + on * scale * t * w
+
+                    acc = jax.lax.fori_loop(1, S, body, jnp.zeros_like(sig))
+                    return wet + acc
 
                 branches = [lambda: sig]
                 for name in names:
@@ -216,25 +276,55 @@ class WavAugmenter:
                 return jax.lax.switch(code, branches)
 
             return jax.vmap(row_fn)(sigs, lengths, codes, srcs, startss,
-                                    snrss, n_srcs)
+                                    snrss, sig_startss, durss, n_srcs)
 
         return jax.jit(batch_fn)
 
-    def _draw_plan(self, codes: np.ndarray, names):
-        """Host-side plan vectors for one batch: (src, starts, snrs, n_src)."""
+    def _draw_plan(self, codes: np.ndarray, names, lengths: np.ndarray):
+        """Host-side plan vectors for one batch:
+        (src, starts, snrs, sig_starts, durs, n_src)."""
         B = len(codes)
         S = self.MAX_BABBLE
         src = np.zeros((B, S), np.int32)
         starts = np.zeros((B, S), np.int32)
         snrs = np.zeros((B, S), np.float32)
+        sig_starts = np.zeros((B, S), np.int32)
+        durs = np.full((B, S), -1, np.int32)
         n_src = np.ones(B, np.int32)
         for ci, name in enumerate(names):
             rows = np.where(codes == ci + 1)[0]
             if rows.size == 0:
                 continue
             if name == "reverb":
-                src[rows, 0] = self.rng.integers(0, len(self.rirs[1]),
-                                                 rows.size)
+                if self.reverb_planner is not None:
+                    nl = self._host_lens.get("rvb_noise")
+                    for r in rows:
+                        plan = self.reverb_planner.draw(int(lengths[r]), nl)
+                        if plan is None:  # dry: delta RIR, no noises
+                            src[r, 0] = len(self.rirs[1]) - 1
+                            continue
+                        # rir=-1 (noises only) → the delta-RIR identity row
+                        # appended by recipes.augment_dir (index K-1)
+                        src[r, 0] = (plan.rir if plan.rir >= 0
+                                     else len(self.rirs[1]) - 1)
+                        for i, (ni, snr, s0, d) in enumerate(
+                                plan.noises[:S - 1], start=1):
+                            src[r, i] = ni
+                            snrs[r, i] = snr
+                            sig_starts[r, i] = s0
+                            durs[r, i] = d
+                            # align tiled row so tiled[start+t] =
+                            # noise[(t - s0) mod len]
+                            L = max(int(nl[ni]), 1) if nl is not None else 1
+                            starts[r, i] = (L - s0 % L) % L
+                        n_src[r] = 1 + min(len(plan.noises), S - 1)
+                elif self.rir_probs is not None:
+                    src[rows, 0] = self.rng.choice(
+                        len(self.rirs[1]), rows.size,
+                        p=self.rir_probs).astype(np.int32)
+                else:
+                    src[rows, 0] = self.rng.integers(0, len(self.rirs[1]),
+                                                     rows.size)
                 continue
             lens = self._host_lens[name]
             cols = S if name == "babble" else 1
@@ -246,7 +336,7 @@ class WavAugmenter:
                 0, np.maximum(lens[k], 1)).astype(np.int32)
             snrs[rows, :cols] = self.rng.choice(self.SNR[name],
                                                 (rows.size, cols))
-        return src, starts, snrs, n_src
+        return src, starts, snrs, sig_starts, durs, n_src
 
     def __call__(self, wavs: np.ndarray, lengths: np.ndarray,
                  kinds=None, device_out: bool = False) -> np.ndarray:
@@ -270,19 +360,25 @@ class WavAugmenter:
             codes = np.asarray([code_of.get(k, 0) for k in kinds], np.int32)
         if not codes.any():
             return jnp.asarray(wavs) if device_out else np.asarray(wavs)
-        src, starts, snrs, n_src = self._draw_plan(codes, names)
+        src, starts, snrs, sig_starts, durs, n_src = self._draw_plan(
+            codes, names, np.asarray(lengths))
         if n not in self._fns:
             self._fns[n] = self._build_fn(n, names)
         tiled = tuple(self._tiled_pool(k, n) for k in names if k != "reverb")
+        if "rvb_noise" in self.pools:
+            rvb_tiled = self._tiled_pool("rvb_noise", n)
+        else:  # unused dummy (reverb branch skips the noise loop)
+            rvb_tiled = jnp.zeros((1, 1), jnp.float32)
         if self.rirs is not None:
             rmats, rlens = self.rirs
         else:  # unused dummy (no reverb branch without RIRs)
             rmats = jnp.zeros((1, 1), jnp.float32)
             rlens = jnp.ones((1,), jnp.int32)
-        out = self._fns[n](tiled, rmats, rlens,
+        out = self._fns[n](tiled, rvb_tiled, rmats, rlens,
                            jnp.asarray(wavs, jnp.float32),
                            jnp.asarray(lengths, jnp.int32),
                            jnp.asarray(codes), jnp.asarray(src),
                            jnp.asarray(starts), jnp.asarray(snrs),
+                           jnp.asarray(sig_starts), jnp.asarray(durs),
                            jnp.asarray(n_src))
         return out if device_out else np.asarray(out)

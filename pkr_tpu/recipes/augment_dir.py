@@ -104,7 +104,63 @@ class AugmentPools:
         if speech is not None:
             self.pools["babble"] = speech
         self.rirs = rirs
+        self.rir_probs = None
+        self.rvb_noise = None
+        self.reverb_planner = None
         self.rng = np.random.default_rng(seed)
+
+    def attach_rir_set(self, rir_dir: str,
+                       noise_set_params=None,
+                       foreground_snrs=(20.0,), background_snrs=(20.0,),
+                       speech_rvb_probability: float = 1.0,
+                       pointsource_noise_addition_probability: float = 1.0,
+                       isotropic_noise_addition_probability: float = 1.0,
+                       max_noises_per_minute: float = 1.0,
+                       max_rirs: int = 4096, max_rir_sec: float = 1.0,
+                       max_noise_sec: float = 6.0,
+                       rate: int = 16000) -> "AugmentPools":
+        """Wire a RIRS_NOISES-style corpus into the reverb branch
+        (reverberate_data_dir.py's role; driven from run.sh:93-130 with
+        smallroom+mediumroom at probability 0.5 each and NO additive
+        noises — pass noise_set_params for the full fg/bg composition).
+
+        Loads the (probability-subsampled) RIR wavs plus a trailing delta
+        (unit-impulse) row the planner uses for 'no reverb drawn' rows, and
+        an optional rvb-noise pool for iso/point-source additions.
+        """
+        from pkr_tpu.recipes.rir import (ReverbPlanner, find_rir_sets,
+                                         load_pool_wavs, parse_noise_list,
+                                         parse_rir_list)
+
+        rirs = parse_rir_list(find_rir_sets(rir_dir), base_dir=rir_dir)
+        point, iso = ([], {})
+        if noise_set_params:
+            point, iso = parse_noise_list(noise_set_params, base_dir=rir_dir)
+        planner = ReverbPlanner(
+            rirs, point, iso,
+            foreground_snrs=foreground_snrs, background_snrs=background_snrs,
+            speech_rvb_probability=speech_rvb_probability,
+            pointsource_noise_addition_probability=(
+                pointsource_noise_addition_probability),
+            isotropic_noise_addition_probability=(
+                isotropic_noise_addition_probability),
+            max_noises_per_minute=max_noises_per_minute,
+            max_rirs=max_rirs, seed=int(self.rng.integers(2 ** 31)),
+            rate=rate)
+        mats, lens = load_pool_wavs([r.path for r in planner.rirs],
+                                    max_rir_sec, rate)
+        # trailing delta RIR: convolution identity (peak at 0, power 1) for
+        # rows whose draw skips the reverb but keeps additive noises
+        delta = np.zeros((1, mats.shape[1]), np.float32)
+        delta[0, 0] = 1.0
+        self.rirs = (np.concatenate([mats, delta]),
+                     np.concatenate([lens, np.asarray([1], lens.dtype)]))
+        if planner.noise_entries:
+            self.rvb_noise = load_pool_wavs(
+                [e.path for e in planner.noise_entries], max_noise_sec, rate)
+        self.reverb_planner = planner
+        self._augmenter = None  # rebuild with the new pools
+        return self
 
     @staticmethod
     def from_wavs(wavs: List[np.ndarray], max_len: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -156,7 +212,9 @@ class AugmentPools:
                 noise=self.pools.get("noise"), music=self.pools.get("music"),
                 speech=self.pools.get("babble"), rirs=self.rirs,
                 seed=int(self.rng.integers(2 ** 31)),
-                snr=self.snr)
+                snr=self.snr, rir_probs=self.rir_probs,
+                rvb_noise=self.rvb_noise,
+                reverb_planner=self.reverb_planner)
         return self._augmenter
 
     def apply(self, wav: np.ndarray, length: int, kind: str) -> np.ndarray:

