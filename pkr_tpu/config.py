@@ -73,6 +73,11 @@ class DataConfig:
     snr_noise: Tuple[int, ...] = (15, 10, 5, 0)  # run.sh:136-144
     snr_music: Tuple[int, ...] = (15, 10, 8, 5)
     snr_babble: Tuple[int, ...] = (20, 17, 15, 13)
+    # full-corpus augmentation pools (AugmentPools.load): per-recording
+    # head length, HBM per pool shard, shard-rotation cadence in utterances
+    pool_len_sec: float = 12.0
+    pool_shard_mb: int = 256
+    pool_rotate_rows: int = 2000
 
 
 @dataclass(frozen=True)

@@ -172,8 +172,34 @@ class WavAugmenter:
             self.rir_probs = rp / rp.sum()
         self.reverb_planner = reverb_planner
         self.rng = np.random.default_rng(seed)
-        self._tiled = {}   # (kind, n) -> tiled pool matrix
+        from collections import OrderedDict
+
+        self._tiled = OrderedDict()  # (kind, n) -> tiled pool matrix, LRU
+        self._tiled_bytes = 0
+        self.tile_budget_bytes = 2 << 30  # HBM ceiling for tiled pools
         self._fns = {}     # n -> jitted vmapped row dispatcher
+
+    def set_pool(self, kind: str, pool: Tuple[np.ndarray, np.ndarray]) -> None:
+        """Swap a pool's backing shard (full-corpus rotation,
+        recipes.augment_dir.AugmentPools.load).  The new shard must keep
+        the previous shard's (K, L) shape — fixed shapes are what makes
+        rotation free of recompiles (the compiled batch fns take the tiled
+        pools as ARGUMENTS of a fixed shape)."""
+        assert kind in self.pools, kind
+        mats, lens = pool
+        old_shape = self.pools[kind][0].shape
+        assert tuple(mats.shape) == tuple(old_shape), (kind, mats.shape,
+                                                       old_shape)
+        self.pools[kind] = (jnp.asarray(mats, jnp.float32),
+                            jnp.asarray(lens, jnp.int32))
+        self._host_lens[kind] = np.asarray(lens, np.int64)
+        for key in [k for k in self._tiled if k[0] == kind]:
+            self._tiled_bytes -= self._tile_cost(key[0], key[1])
+            del self._tiled[key]
+
+    def _tile_cost(self, kind: str, n: int) -> int:
+        mats = self.pools[kind][0]
+        return int(mats.shape[0] * (mats.shape[1] + n) * 4)
 
     def kinds(self):
         out = [k for k in self.pools if k != "rvb_noise"]
@@ -182,12 +208,22 @@ class WavAugmenter:
         return out
 
     def _tiled_pool(self, kind: str, n: int) -> jnp.ndarray:
+        """Byte-accounted LRU over the tiled pool copies: evict the
+        least-recently-used tiles until the new one fits under
+        tile_budget_bytes (replaces round 2's blunt clear-at-8-entries —
+        full-corpus shards made per-entry sizes too uneven for a count
+        bound)."""
         key = (kind, n)
-        if key not in self._tiled:
-            if len(self._tiled) >= 8:  # bound HBM across bucket shapes
-                self._tiled.clear()
-            mats, lens = self.pools[kind]
-            self._tiled[key] = tile_pool(mats, lens, n)
+        if key in self._tiled:
+            self._tiled.move_to_end(key)
+            return self._tiled[key]
+        cost = self._tile_cost(kind, n)
+        while self._tiled and self._tiled_bytes + cost > self.tile_budget_bytes:
+            old_key, _ = self._tiled.popitem(last=False)
+            self._tiled_bytes -= self._tile_cost(old_key[0], old_key[1])
+        mats, lens = self.pools[kind]
+        self._tiled[key] = tile_pool(mats, lens, n)
+        self._tiled_bytes += cost
         return self._tiled[key]
 
     def _build_fn(self, n: int, names):

@@ -578,12 +578,16 @@ def main(argv=None):
         if args.musan_dir:
             from pkr_tpu.recipes.voxceleb import make_musan
 
-            # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults)
+            # config SNR grids (DataConfig.snr_*, run.sh:136-144 defaults);
+            # full-corpus pools with rotating HBM shards (DataConfig.pool_*)
             pools = AugmentPools.load(make_musan(args.musan_dir),
                                       seed=cfg.train.seed,
                                       snr={"noise": cfg.data.snr_noise,
                                            "music": cfg.data.snr_music,
-                                           "babble": cfg.data.snr_babble})
+                                           "babble": cfg.data.snr_babble},
+                                      max_len_sec=cfg.data.pool_len_sec,
+                                      shard_mb=cfg.data.pool_shard_mb,
+                                      rotate_rows=cfg.data.pool_rotate_rows)
         else:
             pools = AugmentPools(seed=cfg.train.seed)
         if args.rir_dir:
