@@ -63,6 +63,11 @@ class EvalConfig:
     max_len: int = 3000
     long_mode: str = "truncate"  # or 'average': window-mean very long audio
     lda_dim: int = 200  # run.sh:331
+    # random train subset for backend/cohort stats extraction (stage 4);
+    # 0 = whole train scp.  feature_pre.sh:244-246 uses `shuf | head
+    # -500000` — at the reference's 2.5M-utterance augmented scale a full
+    # extraction per experiment is millions of needless forwards
+    cohort_subset: int = 0
 
 
 @dataclass(frozen=True)

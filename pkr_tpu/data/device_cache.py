@@ -31,6 +31,11 @@ import jax.numpy as jnp
 
 _U16 = np.float32(1.0 / 65535.0)
 
+# zero rows appended after the last utterance so a crop's dynamic_slice
+# never clamps (clamping would silently shift the crop window); bounds the
+# supported seq_len
+_CROP_PAD = 1024
+
 
 def quantize_utterance(mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(T, F) float32 → (codes uint8 (T, F), percentiles f32 (4, F)).
@@ -92,6 +97,7 @@ class DeviceFeatureCache:
             off += c.shape[0]
             code_blocks.append(c)
             pcts.append(p)
+        code_blocks.append(np.zeros((_CROP_PAD, F), np.uint8))
         codes = jnp.asarray(np.concatenate(code_blocks, axis=0))
         pct = jnp.asarray(np.stack(pcts))
         lab = None
@@ -119,11 +125,19 @@ class DeviceFeatureCache:
             jax.random.uniform(key, utt_ids.shape)
             * jnp.maximum(rows - seq_len + 1, 1)).astype(jnp.int32)
 
-        def crop(start):
-            return jax.lax.dynamic_slice(
+        def crop(start, r):
+            c = jax.lax.dynamic_slice(
                 self.codes, (start, 0), (seq_len, self.codes.shape[1]))
+            # utterances shorter than seq_len: cyclic tiling WITHIN the
+            # crop (t -> t mod rows), matching the host loader
+            # (data/loader.py cyclic tiling) instead of reading the next
+            # utterance's rows.  For rows >= seq_len the index is the
+            # identity; the gather runs over the tiny (seq_len, F) crop
+            # block, not the corpus buffer, so it stays cheap.
+            idx = jnp.arange(seq_len, dtype=jnp.int32) % jnp.maximum(r, 1)
+            return jnp.take_along_axis(c, idx[:, None], axis=0)
 
-        codes = jax.vmap(crop)(starts)  # (B, seq_len, F)
+        codes = jax.vmap(crop)(starts, rows)  # (B, seq_len, F)
         feats = dequantize(codes, self.pct[utt_ids])
         # (B, F, T) layout, like the host loader
         return jnp.transpose(feats, (0, 2, 1))
@@ -132,10 +146,12 @@ class DeviceFeatureCache:
                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Random seq_len crops of the given utterances, decoded on device.
 
-        Utterances shorter than seq_len start at 0 and read into the next
-        utterance's rows; exclude them upstream (the ≥200-frame filter) or
-        accept the contamination like the host loader's tiling accepts reuse.
+        Utterances shorter than seq_len start at their first row and are
+        cyclically tiled to seq_len, exactly like the host loader's
+        tiling — no contamination from neighbouring rows (the buffer also
+        carries a _CROP_PAD tail so the slice never clamps at the end).
         """
+        assert seq_len <= _CROP_PAD, (seq_len, _CROP_PAD)
         utt_ids = jnp.asarray(utt_ids, jnp.int32)
         feats = self._sample(utt_ids, key, seq_len)
         labels = None if self.labels is None else self.labels[utt_ids]
@@ -237,7 +253,8 @@ class ShardedDeviceFeatureCache:
             offs.append(np.pad(np.asarray(o_row, np.int32), (0, pad_u)))
             rws.append(np.pad(np.asarray(r_row, np.int32), (0, pad_u)))
             labs.append(np.pad(np.asarray(l_row, np.int32), (0, pad_u)))
-        r_max = max(b.shape[0] for b in blocks)
+        # equalize shard heights + the anti-clamp crop tail (see _CROP_PAD)
+        r_max = max(b.shape[0] for b in blocks) + _CROP_PAD
         blocks = [np.pad(b, ((0, r_max - b.shape[0]), (0, 0))) for b in blocks]
 
         def put(x, spec):
@@ -278,11 +295,15 @@ class ShardedDeviceFeatureCache:
                 jax.random.uniform(key, utt_ids.shape)
                 * jnp.maximum(r - seq_len + 1, 1)).astype(jnp.int32)
 
-            def crop(start):
-                return jax.lax.dynamic_slice(
+            def crop(start, rr):
+                c = jax.lax.dynamic_slice(
                     codes, (start, 0), (seq_len, codes.shape[1]))
+                # cyclic tiling for rows < seq_len (see DeviceFeatureCache)
+                idx = (jnp.arange(seq_len, dtype=jnp.int32)
+                       % jnp.maximum(rr, 1))
+                return jnp.take_along_axis(c, idx[:, None], axis=0)
 
-            feats = dequantize(jax.vmap(crop)(starts), pct[utt_ids])
+            feats = dequantize(jax.vmap(crop)(starts, r), pct[utt_ids])
             return jnp.transpose(feats, (0, 2, 1)), labels[utt_ids]
 
         fn = shard_map(

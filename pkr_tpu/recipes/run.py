@@ -353,7 +353,23 @@ def run_train(cfg, feat_dir: str, exp_dir: str) -> None:
     wait_for_checkpoints()  # the last save is async; commit before returning
 
 
-def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> None:
+def select_decode_subset(scp: str, n: int, seed: int, out_path: str) -> str:
+    """feature_pre.sh:244-246 (`shuf | head -N`): a seeded random N-utterance
+    subset of a feats.scp, written as a derived scp.  Used for the backend
+    cohort extraction so mean/LDA/PLDA/S-norm stats don't require a full
+    multi-million-utterance forward pass."""
+    lines = open(scp).read().splitlines()
+    if n <= 0 or n >= len(lines):
+        return scp
+    rng = np.random.default_rng(seed)
+    keep = sorted(rng.choice(len(lines), n, replace=False))
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines[i] for i in keep) + "\n")
+    return out_path
+
+
+def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str,
+                subset: int = 0) -> None:
     import jax
 
     from pkr_tpu.data import EvalLoader, FeatureSource
@@ -374,6 +390,10 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str) -> No
         restored = restore_checkpoint(os.path.join(exp_dir, "checkpoints"), state)
     assert restored is not None, "no checkpoint to extract from"
     variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+    if subset:
+        scp = select_decode_subset(
+            scp, subset, cfg.train.seed,
+            os.path.join(exp_dir, f"decode_{out_name}.scp"))
     src = FeatureSource(scp)
     pi, pc = jax.process_index(), jax.process_count()
     # multi-host: each host extracts ITS utterance shard on its LOCAL
@@ -638,8 +658,11 @@ def main(argv=None):
             run_train(cfg, feat_dir, args.exp_dir)
         elif stage == 4:
             print("== stage 4: extract")
+            # the train/cohort side honors eval.cohort_subset
+            # (feature_pre.sh's 500k decode_train.scp); test stays full
             run_extract(cfg, feat_dir, args.exp_dir,
-                        os.path.join(feat_dir, "train", "feats.scp"), "train.iv")
+                        os.path.join(feat_dir, "train", "feats.scp"),
+                        "train.iv", subset=cfg.eval.cohort_subset)
             if args.test_data_dir:
                 run_extract(cfg, feat_dir, args.exp_dir,
                             os.path.join(test_feat_dir, "feats.scp"), "test.iv")

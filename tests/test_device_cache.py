@@ -199,3 +199,57 @@ def test_sharded_cache_loader_epoch():
         assert not feats.is_fully_replicated  # actually sharded over 'data'
         n += 1
     assert n == loader.batches_per_epoch() >= 1
+
+
+def test_short_utterances_tile_cyclically():
+    """Utterances shorter than seq_len must be tiled WITHIN their own rows
+    (t -> t mod rows), like the host loader's _random_crop_at — never read
+    the next utterance's frames (VERDICT r2 weak item 5)."""
+    rng = np.random.default_rng(21)
+    mats = {
+        "long": rng.standard_normal((300, 8)).astype(np.float32),
+        "short": rng.standard_normal((50, 8)).astype(np.float32),
+        # LAST utterance short: exercises the anti-clamp tail padding
+        "tail": rng.standard_normal((30, 8)).astype(np.float32),
+    }
+    cache = DeviceFeatureCache.build(mats, {"long": 0, "short": 1, "tail": 2})
+    seq_len = 120
+    feats, labels = cache.sample_batch(np.asarray([1, 2, 0]),
+                                       jax.random.key(0), seq_len)
+    feats = np.asarray(feats)  # (B, F, T)
+    assert list(np.asarray(labels)) == [1, 2, 0]
+    for b, name in ((0, "short"), (1, "tail")):
+        want_full = dequantize(
+            jnp.asarray(quantize_utterance(mats[name])[0]),
+            jnp.asarray(quantize_utterance(mats[name])[1]))
+        want = np.asarray(want_full)[np.arange(seq_len) % len(mats[name])]
+        np.testing.assert_allclose(feats[b].T, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_short_utterances_tile_cyclically():
+    from pkr_tpu.data.device_cache import ShardedDeviceFeatureCache
+    from pkr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(22)
+    mats, labels = {}, {}
+    lens = [40, 300, 25, 260, 80, 33, 310, 55]
+    for i, L in enumerate(lens):
+        mats[f"u{i}"] = rng.standard_normal((L, 8)).astype(np.float32)
+        labels[f"u{i}"] = i
+    cache = ShardedDeviceFeatureCache.build(mats, labels, mesh)
+    seq_len = 100
+    # per-shard local index 0 for each of the 4 shards → utts u0..u3
+    ids = np.zeros(8, np.int32)  # B_local=2 per shard, both index 0
+    feats, labs = cache.sample_batch(ids, seed=7, seq_len=seq_len)
+    feats = np.asarray(feats)
+    labs = np.asarray(labs)
+    for b in range(8):
+        name = f"u{int(labs[b])}"
+        mat = mats[name]
+        if len(mat) >= seq_len:
+            continue
+        c, p = quantize_utterance(mat)
+        want_full = np.asarray(dequantize(jnp.asarray(c), jnp.asarray(p)))
+        want = want_full[np.arange(seq_len) % len(mat)]
+        np.testing.assert_allclose(feats[b].T, want, rtol=1e-4, atol=1e-4)

@@ -87,6 +87,20 @@ def test_full_pipeline(tmp_path_factory, tiny_cfg):
     recipe.run_extract(tiny_cfg, feat_dir, exp_dir,
                        os.path.join(feat_dir, "cv", "feats.scp"), "test.iv")
 
+    # cohort-subset knob (feature_pre.sh:244-246 'shuf | head -N'): the
+    # cohort extraction runs on a seeded random subset of the train scp
+    from pkr_tpu.io import load_text_vec_ark as _load
+
+    recipe.run_extract(tiny_cfg, feat_dir, exp_dir,
+                       os.path.join(feat_dir, "train", "feats.scp"),
+                       "train_sub.iv", subset=5)
+    sub = _load(os.path.join(exp_dir, "train_sub.iv"))
+    full = _load(os.path.join(exp_dir, "train.iv"))
+    assert len(sub) == 5 and set(sub) < set(full)
+    assert os.path.exists(os.path.join(exp_dir, "decode_train_sub.iv.scp"))
+    for u in sub:  # same checkpoint, same utterances → same embeddings
+        np.testing.assert_allclose(sub[u], full[u], rtol=1e-5, atol=1e-5)
+
     # stage 6: trials = cv utts vs train speakers (cosine, no cohort)
     from pkr_tpu.io import load_text_vec_ark
     from pkr_tpu.eval.scoring import cosine_scores, speaker_means

@@ -53,6 +53,7 @@ LR0 = 0.1
 SEED = 0
 TRUNK = "resnet34"
 NOISE = 500.0       # additive noise floor (peak signal is 3000)
+AMP_J = 0.25        # within-speaker harmonic amplitude jitter (1±AMP_J)
 
 # (torch stages, torch base channels) per trunk — must mirror
 # pkr_tpu.models.resnet constructors (reference model.py:272-331)
@@ -87,7 +88,7 @@ def synth_corpus(root):
         env_s = amps_s * (k ** tilt_s)
         for j in range(N_UTT):
             f0 = f0_s * rng.uniform(0.97, 1.03)
-            amps = env_s * rng.uniform(0.75, 1.3, size=n_harm)
+            amps = env_s * rng.uniform(1 - AMP_J, 1 + AMP_J, size=n_harm)
             phases = rng.uniform(0, 2 * np.pi, size=n_harm)
             sig = (amps[None, :] * np.sin(
                 2 * np.pi * f0 * k[None, :] * t[:, None] + phases)).sum(axis=1)
@@ -325,7 +326,7 @@ def run_once(root, pilot=False):
 
 
 def main():
-    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE
+    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J
 
     import argparse
 
@@ -339,6 +340,7 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--crop", type=int, default=CROP_T)
     ap.add_argument("--noise", type=float, default=NOISE)
+    ap.add_argument("--amp-jitter", type=float, default=AMP_J)
     ap.add_argument("--trunk", type=str, default=TRUNK, choices=sorted(TRUNKS))
     ap.add_argument("--pilot", action="store_true",
                     help="pkr engine only (no torch): fast difficulty check")
@@ -347,6 +349,7 @@ def main():
     args = ap.parse_args()
     N_SPK, N_UTT, EPOCHS = args.spk, args.utt, args.epochs
     TRUNK, BATCH, CROP_T, NOISE = args.trunk, args.batch, args.crop, args.noise
+    AMP_J = args.amp_jitter
 
     from pkr_tpu.utils import enable_compile_cache
 
