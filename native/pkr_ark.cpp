@@ -83,8 +83,16 @@ bool parse_header(Reader& r, MatHeader* h) {
     h->data_pos = r.pos;
     return true;
   }
-  if (!memcmp(token, "CM ", 3)) {
-    h->kind = 'C';
+  if (!memcmp(token, "CM ", 3) || !memcmp(token, "CM2", 3) ||
+      !memcmp(token, "CM3", 3)) {
+    if (token[2] == ' ') {
+      h->kind = 'C';
+    } else {
+      // on-disk tokens are "CM2 "/"CM3 " (WriteToken appends the space)
+      char sp;
+      if (!r.read(&sp, 1) || sp != ' ') return false;
+      h->kind = token[2];  // '2' = uint16 row-major, '3' = uint8 row-major
+    }
     int32_t rows, cols;
     if (!r.read(&h->gmin, 4) || !r.read(&h->grange, 4)) return false;
     if (!r.read(&rows, 4) || !r.read(&cols, 4)) return false;
@@ -94,7 +102,17 @@ bool parse_header(Reader& r, MatHeader* h) {
     h->data_pos = r.pos;
     return true;
   }
-  return false;  // CM2/CM3/ascii unsupported in the fast path
+  return false;  // ascii unsupported in the fast path
+}
+
+// CM2/CM3 (compressed-matrix.h kTwoByte*/kOneByte*): row-major elementwise
+// codes, single linear map.  Same f32 evaluation order as the python codec
+// (gmin + (grange * scale) * code).
+inline float cm2_decode(uint16_t code, float gmin, float grange) {
+  return gmin + grange * kUint16Scale * (float)code;
+}
+inline float cm3_decode(uint8_t code, float gmin, float grange) {
+  return gmin + grange * (1.0f / 255.0f) * (float)code;
 }
 
 inline float cm_percentile(uint16_t code, float gmin, float grange) {
@@ -199,8 +217,10 @@ int pkr_read_crop_t(const char* path, long offset, int row_start, int n_rows,
     return 0;
   }
 
-  const int esz = (h.kind == 'F') ? 4 : 8;
-  // row-major float payload: read the crop rows, transpose on the fly
+  const int esz = (h.kind == 'F') ? 4 : (h.kind == 'D') ? 8
+                  : (h.kind == '2') ? 2 : 1;
+  // row-major payload (FM/DM floats, CM2/CM3 fixed-point codes): read the
+  // crop rows, decode if needed, transpose on the fly
   char* rowbuf = new char[(size_t)C * esz];
   for (int k = 0; k < n_rows; ++k) {
     const int rr = (row_start + k) % R;
@@ -212,9 +232,17 @@ int pkr_read_crop_t(const char* path, long offset, int row_start, int n_rows,
     if (h.kind == 'F') {
       const float* row = (const float*)rowbuf;
       for (int c = 0; c < C; ++c) out[(size_t)c * n_rows + k] = row[c];
-    } else {
+    } else if (h.kind == 'D') {
       const double* row = (const double*)rowbuf;
       for (int c = 0; c < C; ++c) out[(size_t)c * n_rows + k] = (float)row[c];
+    } else if (h.kind == '2') {
+      const uint16_t* row = (const uint16_t*)rowbuf;
+      for (int c = 0; c < C; ++c)
+        out[(size_t)c * n_rows + k] = cm2_decode(row[c], h.gmin, h.grange);
+    } else {
+      const uint8_t* row = (const uint8_t*)rowbuf;
+      for (int c = 0; c < C; ++c)
+        out[(size_t)c * n_rows + k] = cm3_decode(row[c], h.gmin, h.grange);
     }
   }
   delete[] rowbuf;
@@ -256,7 +284,8 @@ int pkr_read_mat(const char* path, long offset, float* out, long capacity,
     delete[] coldec;
     return 0;
   }
-  const int esz = (h.kind == 'F') ? 4 : 8;
+  const int esz = (h.kind == 'F') ? 4 : (h.kind == 'D') ? 8
+                  : (h.kind == '2') ? 2 : 1;
   char* buf = new char[(size_t)R * C * esz];
   if (!r.read(buf, (size_t)R * C * esz)) {
     delete[] buf;
@@ -264,9 +293,17 @@ int pkr_read_mat(const char* path, long offset, float* out, long capacity,
   }
   if (h.kind == 'F') {
     memcpy(out, buf, (size_t)R * C * 4);
-  } else {
+  } else if (h.kind == 'D') {
     const double* src = (const double*)buf;
     for (long i = 0; i < (long)R * C; ++i) out[i] = (float)src[i];
+  } else if (h.kind == '2') {
+    const uint16_t* src = (const uint16_t*)buf;
+    for (long i = 0; i < (long)R * C; ++i)
+      out[i] = cm2_decode(src[i], h.gmin, h.grange);
+  } else {
+    const uint8_t* src = (const uint8_t*)buf;
+    for (long i = 0; i < (long)R * C; ++i)
+      out[i] = cm3_decode(src[i], h.gmin, h.grange);
   }
   delete[] buf;
   return 0;

@@ -332,7 +332,9 @@ def read_mat_dims(file_or_fd) -> Tuple[int, int]:
             return m.shape
         token = fd.read(3)
         if token.startswith(b"CM"):
-            if token != b"CM ":
+            if token in (b"CM2", b"CM3"):
+                assert fd.read(1) == b" ", "malformed CM2/CM3 token"
+            elif token != b"CM ":
                 raise ValueError(f"unsupported compression {token!r}")
             _, _, rows, cols = struct.unpack("<ffii", fd.read(16))
             return rows, cols
@@ -493,16 +495,39 @@ def write_ark_scp(ark_path: str, scp_path: Optional[str] = None, compress: bool 
 
 
 def decompress_matrix(fd: BinaryIO, token: bytes = b"CM ") -> np.ndarray:
-    """Decode Kaldi CompressedMatrix format 1 ('CM ').
+    """Decode Kaldi CompressedMatrix formats 1 ('CM '), 2 ('CM2 ') and
+    3 ('CM3 ').
 
-    Layout (compressed-matrix.h): global header {min float32, range float32,
-    rows int32, cols int32}, then per-COLUMN headers of 4 uint16 percentile
-    codes, then uint8 data stored column-major.  Dequantization is a 3-piece
-    linear map through the 0/25/75/100 percentiles.
-    (decoder parity target: /root/reference/kaldi_io.py:427-460)
+    Format 1 (compressed-matrix.h kOneByteWithColHeaders): global header
+    {min float32, range float32, rows int32, cols int32}, then per-COLUMN
+    headers of 4 uint16 percentile codes, then uint8 data stored
+    column-major; dequantization is a 3-piece linear map through the
+    0/25/75/100 percentiles.  (decoder parity target:
+    /root/reference/kaldi_io.py:427-460)
+
+    Formats 2/3 (kTwoByte*/kOneByte*): same global header, then ROW-major
+    elementwise uint16 (2) or uint8 (3) codes with a single linear map
+    min + range·code/65535 (resp. /255).  Kaldi's kAutomaticMethod emits
+    format 2 for matrices with ≤ 8 rows, so short segments in foreign arks
+    hit this path (the reference's reader lacked it and hard-failed).
     """
+    if token in (b"CM2", b"CM3"):
+        # tokens on disk are 'CM2 '/'CM3 ' (WriteToken appends the space)
+        assert fd.read(1) == b" ", "malformed CM2/CM3 token"
+        gmin, grange, rows, cols = struct.unpack("<ffii", fd.read(16))
+        if token == b"CM2":
+            data = np.frombuffer(fd.read(2 * rows * cols),
+                                 dtype="<u2").reshape(rows, cols)
+            return (np.float32(gmin)
+                    + np.float32(grange) * _UINT16_SCALE
+                    * data.astype(np.float32))
+        data = np.frombuffer(fd.read(rows * cols),
+                             dtype=np.uint8).reshape(rows, cols)
+        return (np.float32(gmin)
+                + np.float32(grange) * np.float32(1.0 / 255.0)
+                * data.astype(np.float32))
     if token != b"CM ":
-        raise ValueError(f"unsupported compressed format {token!r} (only 'CM ')")
+        raise ValueError(f"unsupported compressed format {token!r}")
     gmin, grange, rows, cols = struct.unpack("<ffii", fd.read(16))
     headers = np.frombuffer(fd.read(8 * cols), dtype="<u2").reshape(cols, 4)
     pct = gmin + grange * _UINT16_SCALE * headers.astype(np.float32)  # (cols, 4)
@@ -572,9 +597,15 @@ def cm_quantize_columns(colmaj: np.ndarray, gmin: float, grange: float
     return codes_u16, pct.astype(np.float32), data
 
 
-def compress_matrix(mat: np.ndarray) -> bytes:
-    """Encode float32 matrix as Kaldi CompressedMatrix format 1 bytes
-    (including the 'CM ' token, excluding the '\\0B' binary flag)."""
+def compress_matrix(mat: np.ndarray, method: int = 1) -> bytes:
+    """Encode float32 matrix as Kaldi CompressedMatrix bytes (including the
+    'CM '/'CM2 '/'CM3 ' token, excluding the '\\0B' binary flag).
+
+    method: 1 = kOneByteWithColHeaders (the copy-feats --compress default
+    for tall matrices), 2 = kTwoByte (what kAutomaticMethod picks for
+    ≤ 8-row matrices), 3 = kOneByte.  Codes follow Kaldi's
+    FloatToUint16/FloatToUint8: floor(f·N + 0.499) on the clipped [0,1]
+    normalized value."""
     mat = np.asarray(mat, dtype=np.float32)
     rows, cols = mat.shape
     gmin = float(mat.min()) if mat.size else 0.0
@@ -582,10 +613,22 @@ def compress_matrix(mat: np.ndarray) -> bytes:
     if grange <= 0.0:
         grange = 1.0
 
+    out = bytearray()
+    if method == 2:
+        out += b"CM2 "
+        out += struct.pack("<ffii", gmin, grange, rows, cols)
+        out += _float_to_uint16(mat, gmin, grange).astype("<u2").tobytes()
+        return bytes(out)
+    if method == 3:
+        out += b"CM3 "
+        out += struct.pack("<ffii", gmin, grange, rows, cols)
+        f = np.clip((mat - gmin) / grange, 0.0, 1.0)
+        out += np.floor(f * 255.0 + 0.499).astype(np.uint8).tobytes()
+        return bytes(out)
+
     colmaj = np.ascontiguousarray(mat.T)  # (cols, rows)
     codes_u16, _, data = cm_quantize_columns(colmaj, gmin, grange)
 
-    out = bytearray()
     out += b"CM "
     out += struct.pack("<ffii", gmin, grange, rows, cols)
     out += codes_u16.tobytes()

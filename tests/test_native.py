@@ -157,3 +157,62 @@ def test_short_utterance_crop_phase_randomized(ark):
         feats, _ = next(iter(loader.epoch(epoch)))
         firsts.add(feats.tobytes())
     assert len(firsts) > 1, "identical crops across 6 epochs"
+
+
+def _write_cm_fmt(path, mats, method):
+    import struct
+
+    with open(path, "wb") as f:
+        offs = {}
+        for k, v in mats.items():
+            f.write((k + " ").encode())
+            offs[k] = f.tell()
+            f.write(b"\x00B")
+            f.write(kaldi_ark.compress_matrix(v, method=method))
+    return offs
+
+
+@pytest.mark.parametrize("method", [2, 3])
+def test_cm2_cm3_roundtrip_python_and_native(tmp_path, method):
+    """Kaldi kAutomaticMethod emits format 2 for <=8-row matrices; foreign
+    arks with short segments must decode (VERDICT r2 weak item 6).  Python
+    and native decoders agree bit-for-bit and match the linear-map oracle."""
+    rng = np.random.default_rng(40 + method)
+    mats = {
+        "short": (rng.standard_normal((5, 12)) * 4 - 1).astype(np.float32),
+        "tall": (rng.standard_normal((120, 12)) * 2 + 7).astype(np.float32),
+    }
+    ark_path = tmp_path / f"cm{method}.ark"
+    offs = _write_cm_fmt(str(ark_path), mats, method)
+    for k, v in mats.items():
+        rx = f"{ark_path}:{offs[k]}"
+        got = kaldi_ark.read_mat(rx)
+        assert got.shape == v.shape
+        # linear-map oracle
+        gmin, grange = float(v.min()), float(v.max() - v.min()) or 1.0
+        steps = 65535.0 if method == 2 else 255.0
+        codes = np.floor(np.clip((v - gmin) / grange, 0, 1) * steps + 0.499)
+        want = (np.float32(gmin) + np.float32(grange)
+                * np.float32(1.0 / steps) * codes.astype(np.float32))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+        # quantization error bound
+        np.testing.assert_allclose(got, v, atol=1.1 * grange / steps)
+        # header-only dims
+        assert kaldi_ark.read_mat_dims(rx) == v.shape
+        # native decoder: full read + crop, bit-identical to python
+        ngot = native.read_mat(str(ark_path), offs[k])
+        np.testing.assert_array_equal(ngot, got)
+        crop = native.read_crop_t(str(ark_path), offs[k], 1, 3, v.shape[1])
+        np.testing.assert_array_equal(crop, got[1:4].T)
+        assert native.mat_dims(str(ark_path), offs[k]) == v.shape
+
+
+def test_cm2_short_matrix_crop_tiles(tmp_path):
+    """Cyclic short-utterance tiling also holds on the CM2 row-major path."""
+    rng = np.random.default_rng(44)
+    m = (rng.standard_normal((4, 6)) * 3).astype(np.float32)
+    ark_path = tmp_path / "cm2s.ark"
+    offs = _write_cm_fmt(str(ark_path), {"s": m}, 2)
+    full = kaldi_ark.read_mat(f"{ark_path}:{offs['s']}")
+    crop = native.read_crop_t(str(ark_path), offs["s"], 0, 10, 6)
+    np.testing.assert_array_equal(crop, full[np.arange(10) % 4].T)
