@@ -47,9 +47,9 @@ def make_train_step(model, tx=None,
     """flash_aam=True (loss='AAM' models only) routes the head through the
     Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
     never materialize — the scaling path for very large speaker counts.
-    Train-time top-k metrics are unavailable in that mode (reported as -1);
-    validation routes through the flash loss too (make_eval_step) and best
-    tracking falls back to cv loss.
+    Train-time top-1 comes for free from the kernel's online max (margined
+    argmax == the dense path's top-1); top-5 needs ranks the streaming
+    kernel doesn't keep and is reported as -1.
 
     mesh (with flash_aam) composes the Pallas loss with the device mesh via
     shard_map — class weight sharded over 'model' when spk_num divides that
@@ -70,7 +70,7 @@ def make_train_step(model, tx=None,
 
         flash_loss_fn = make_flash_aam_sharded(
             mesh, model.spk_num, model.m, model.s,
-            interpret=flash_interpret)
+            interpret=flash_interpret, with_acc=True)
 
     @jax.jit
     def train_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray,
@@ -78,26 +78,27 @@ def make_train_step(model, tx=None,
         def loss_fn(params):
             if flash_aam:
                 from pkr_tpu.models.speaker_model import SpeakerModel
-                from pkr_tpu.ops.flash_aam import flash_aam_loss
+                from pkr_tpu.ops.flash_aam import flash_aam_loss_acc
 
                 emb, updates = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, None, True, mutable=["batch_stats"],
                     method=SpeakerModel.embed)
                 if flash_loss_fn is not None:  # mesh-composed shard_map path
-                    loss = flash_loss_fn(emb, params["aam_weight"], labels)
+                    loss, acc = flash_loss_fn(emb, params["aam_weight"],
+                                              labels)
                 else:
-                    loss = flash_aam_loss(emb, params["aam_weight"], labels,
-                                          model.m, model.s, 2048,
-                                          flash_interpret)
-                return loss, (None, updates["batch_stats"])
+                    loss, acc = flash_aam_loss_acc(
+                        emb, params["aam_weight"], labels,
+                        model.m, model.s, 2048, flash_interpret)
+                return loss, ((None, acc), updates["batch_stats"])
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 feats, labels, train=True, mutable=["batch_stats"])
             loss = cross_entropy(logits, labels)
-            return loss, (logits, updates["batch_stats"])
+            return loss, ((logits, None), updates["batch_stats"])
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+        (loss, ((logits, flash_acc), new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # NaN guard (failure detection the reference lacked, SURVEY §5): a
         # non-finite loss skips the whole update — params, momentum and the
@@ -115,8 +116,10 @@ def make_train_step(model, tx=None,
             state.params, updates)
         bsz = labels.shape[0]
         if logits is None:  # flash path: logits never exist
-            no_metric = jnp.asarray(-1.0, jnp.float32)
-            metrics = {"loss": loss, "acc1": no_metric, "acc5": no_metric}
+            # top-1 from the kernel's online max; top-5 has no streaming
+            # equivalent and stays -1
+            metrics = {"loss": loss, "acc1": flash_acc,
+                       "acc5": jnp.asarray(-1.0, jnp.float32)}
         else:
             metrics = {
                 "loss": loss,
@@ -135,9 +138,9 @@ def make_eval_step(model, flash_aam: bool = False,
     """flash_aam routes the validation loss through the flash classifier
     too: the dense head would materialize (B, n_spk) logits and several
     same-sized temporaries — at the 1M-speaker scale the flash TRAIN path
-    exists for, the first cv pass would OOM the chip.  Top-k metrics are
-    unavailable in that mode (n1/n5 report -1 per example, so acc1 = -1,
-    and best-tracking falls back to cv loss)."""
+    exists for, the first cv pass would OOM the chip.  cv top-1 comes from
+    the kernel's online max (dense-equivalent margined argmax) and drives
+    best-tracking exactly like the dense path; top-5 stays -1."""
     if flash_aam:
         assert model.loss == "AAM", f"flash_aam needs loss='AAM', got {model.loss!r}"
     if flash_interpret is None:
@@ -147,25 +150,28 @@ def make_eval_step(model, flash_aam: bool = False,
         from pkr_tpu.ops.flash_aam import make_flash_aam_sharded
 
         flash_loss_fn = make_flash_aam_sharded(
-            mesh, model.spk_num, model.m, model.s, interpret=flash_interpret)
+            mesh, model.spk_num, model.m, model.s, interpret=flash_interpret,
+            with_acc=True)
 
     @jax.jit
     def eval_step(state: TrainState, feats: jnp.ndarray, labels: jnp.ndarray):
         bsz = labels.shape[0]
         if flash_aam:
             from pkr_tpu.models.speaker_model import SpeakerModel
-            from pkr_tpu.ops.flash_aam import flash_aam_loss
+            from pkr_tpu.ops.flash_aam import flash_aam_loss_acc
 
             emb = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 feats, None, False, method=SpeakerModel.embed)
             if flash_loss_fn is not None:
-                loss = flash_loss_fn(emb, state.params["aam_weight"], labels)
+                loss, acc = flash_loss_fn(emb, state.params["aam_weight"],
+                                          labels)
             else:
-                loss = flash_aam_loss(emb, state.params["aam_weight"], labels,
-                                      model.m, model.s, 2048, flash_interpret)
-            no_metric = jnp.asarray(-float(bsz), jnp.float32)
-            return {"loss": loss * bsz, "n1": no_metric, "n5": no_metric,
+                loss, acc = flash_aam_loss_acc(
+                    emb, state.params["aam_weight"], labels,
+                    model.m, model.s, 2048, flash_interpret)
+            return {"loss": loss * bsz, "n1": acc * bsz,
+                    "n5": jnp.asarray(-float(bsz), jnp.float32),
                     "n": jnp.asarray(bsz, jnp.float32)}
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -225,11 +231,6 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
                 batch_shard, np.asarray(x))
         return jax.device_put(x, batch_shard)
 
-    if flash_aam and float(state.best_acc1) >= 0.0:
-        # flash mode tracks best by NEGATIVE cv loss: reset anything in
-        # accuracy-space (a fresh 0.0 OR a resumed dense-run accuracy) —
-        # positive values would never be beaten by a negated loss
-        state = state.replace(best_acc1=jnp.asarray(-jnp.inf, jnp.float32))
     # host-side mirror of state.step: int(state.step) would force a
     # host-device sync on the just-dispatched step EVERY iteration,
     # serializing the async pipeline for the whole run
@@ -284,10 +285,11 @@ def train_and_validate(model, state: TrainState, train_loader, cv_loader,
         log.log(f"epoch {epoch} CV: loss={cv_loss:.4f} acc1={acc1:.4f} "
                 f"acc5={acc5:.4f}",
                 epoch=epoch, loss=cv_loss, acc1=acc1, acc5=acc5)
-        # flash mode has no cv accuracy: track best by cv LOSS (negated so
-        # best_acc1's 'higher is better' semantics and resume state hold);
-        # a non-finite cv loss must not poison the running max
-        metric = -cv_loss if flash_aam else acc1
+        # both modes track cv top-1 now (flash gets it from the kernels'
+        # online max, round-3 change; an old flash checkpoint's negative
+        # best-loss value is simply beaten by the first real accuracy); a
+        # non-finite metric must not poison the running max
+        metric = acc1
         if not np.isfinite(metric):
             metric = -np.inf
         is_best = metric > float(state.best_acc1)

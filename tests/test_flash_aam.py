@@ -125,7 +125,9 @@ def test_flash_train_step_matches_dense():
     s_dense, m_dense = dense_step(state0, feats, labels, lr)
     s_flash, m_flash = flash_step(state0, feats, labels, lr)
     assert abs(float(m_dense["loss"]) - float(m_flash["loss"])) < 1e-3
-    assert float(m_flash["acc1"]) == -1.0
+    # the kernel's online-max top-1 IS the dense margined argmax (r3)
+    assert float(m_flash["acc1"]) == float(m_dense["acc1"])
+    assert float(m_flash["acc5"]) == -1.0  # no streaming top-5
     np.testing.assert_allclose(
         np.asarray(s_flash.params["aam_weight"]),
         np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
@@ -294,7 +296,8 @@ def test_nan_guard_protects_batch_stats():
 def test_flash_validation_avoids_dense_head():
     """flash_aam=True must flow through validation too — the dense eval head
     would materialize (B, n_spk) temporaries, the exact OOM the flash train
-    path avoids at 1M speakers.  Best-tracking falls back to cv loss."""
+    path avoids at 1M speakers.  cv top-1 comes from the kernel's online
+    max and drives best-tracking dense-style (round 3)."""
     from pkr_tpu.models import SpeakerModel
     from pkr_tpu.train.loop import make_eval_step, train_and_validate
     from pkr_tpu.train.state import create_train_state
@@ -312,7 +315,8 @@ def test_flash_validation_avoids_dense_head():
     flash = make_eval_step(model, flash_aam=True, flash_interpret=True)(
         state, jnp.asarray(feats), jnp.asarray(labels))
     assert abs(float(dense["loss"]) - float(flash["loss"])) < 1e-3
-    assert float(flash["n1"]) == -8.0  # no top-k in flash mode
+    assert float(flash["n1"]) == float(dense["n1"])  # dense-equivalent top-1
+    assert float(flash["n5"]) == -8.0  # no streaming top-5
 
     class L:
         def epoch(self, e):
@@ -320,6 +324,61 @@ def test_flash_validation_avoids_dense_head():
 
     out = train_and_validate(model, state, L(), L(), epochs=2, lr0=0.05,
                              flash_aam=True, print_freq=1000)
-    # best metric is NEGATIVE cv loss in flash mode
-    assert float(out.best_acc1) < 0.0
-    assert np.isfinite(float(out.best_acc1))
+    # best metric is the real cv top-1 (accuracy space, like dense)
+    assert 0.0 <= float(out.best_acc1) <= 1.0
+
+
+def test_flash_acc_matches_dense_argmax():
+    """flash_aam_loss_acc's top-1 equals the dense margined argmax on a
+    non-degenerate weight (some rows correct, some not)."""
+    from pkr_tpu.ops.aam import aam_logits
+    from pkr_tpu.ops.flash_aam import flash_aam_loss_acc
+
+    rng = np.random.default_rng(31)
+    B, D, C = 16, 32, 300
+    weight = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, B))
+    # half the batch gets an embedding near its class weight → those rows
+    # should classify correctly, the rest are random
+    emb = rng.standard_normal((B, D)).astype(np.float32)
+    for b in range(0, B, 2):
+        emb[b] = 3.0 * np.asarray(weight[int(labels[b])]) + 0.1 * emb[b]
+    emb = jnp.asarray(emb)
+
+    logits = aam_logits(emb, weight, labels, 0.2, 30.0)
+    dense_acc = float(jnp.mean(
+        (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)))
+    loss, acc = flash_aam_loss_acc(emb, weight, labels, 0.2, 30.0, 128, True)
+    assert 0.3 < dense_acc < 1.0  # non-degenerate by construction
+    assert float(acc) == dense_acc
+    # grads still flow (the metric must not break the vjp)
+    g = jax.grad(lambda e: flash_aam_loss_acc(
+        e, weight, labels, 0.2, 30.0, 128, True)[0])(emb)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_flash_class_sharded_acc_merges_shards():
+    """In the class-sharded regime the per-shard maxima must pmax-merge:
+    the metric equals the dense global argmax even when the argmax class
+    lives on a different shard than the label."""
+    from pkr_tpu.ops.aam import aam_logits
+    from pkr_tpu.ops.flash_aam import make_flash_aam_sharded
+    from pkr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(33)
+    B, D, C = 8, 16, 64
+    weight = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, B))
+    emb = rng.standard_normal((B, D)).astype(np.float32)
+    for b in range(0, B, 2):
+        emb[b] = 3.0 * np.asarray(weight[int(labels[b])]) + 0.1 * emb[b]
+    emb = jnp.asarray(emb)
+
+    logits = aam_logits(emb, weight, labels, 0.2, 30.0)
+    dense_acc = float(jnp.mean(
+        (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)))
+    fn = make_flash_aam_sharded(mesh, C, 0.2, 30.0, tile=128, interpret=True,
+                                weight_sharded=True, with_acc=True)
+    loss, acc = jax.jit(fn)(emb, weight, labels)
+    assert float(acc) == dense_acc

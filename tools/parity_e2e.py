@@ -48,10 +48,13 @@ SECONDS = 2.0
 RATE = 16000
 CROP_T = 100        # training crop (frames)
 BATCH = 64
-EPOCHS = 14
+EPOCHS = 5           # AAM fine-tune epochs (phase 2)
+EPOCHS_SOFTMAX = 10  # softmax pretrain epochs (phase 1)
 LR0 = 0.1
 SEED = 0
 TRUNK = "resnet34"
+LOSS = "AAM"
+LR0_ARG = None
 NOISE = 500.0       # additive noise floor (peak signal is 3000)
 AMP_J = 0.25        # within-speaker harmonic amplitude jitter (1±AMP_J)
 
@@ -61,7 +64,9 @@ TRUNKS = {"tiny_resnet": ([1, 1, 1, 1], 8), "resnet34": ([3, 4, 6, 3], 32)}
 
 
 def synth_corpus(root):
-    """Hundreds of distinguishable synthetic 'speakers'.
+    """Hundreds of distinguishable synthetic 'speakers'.  Reuses an already
+    materialized corpus dir (same globals) so repeated pilots skip the
+    several-minute synthesis on this 1-core host.
 
     At 512 speakers a pure f0 grid is useless (spacing << jitter), so each
     speaker is a point in a higher-dimensional timbre space: f0 plus a
@@ -74,6 +79,12 @@ def synth_corpus(root):
     from pkr_tpu.io.datadir import DataDir
     from pkr_tpu.io.wav import write_wav
 
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        import json
+
+        utt2spk = json.load(open(done))
+        return sorted(utt2spk), utt2spk
     rng = np.random.default_rng(SEED)
     os.makedirs(root, exist_ok=True)
     n = int(SECONDS * RATE)
@@ -100,6 +111,10 @@ def synth_corpus(root):
             utt2spk[utt] = f"spk{i:03d}"
             wav[utt] = path
     DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt().save(root)
+    import json
+
+    with open(os.path.join(root, ".done"), "w") as f:
+        json.dump(utt2spk, f)
     return sorted(utt2spk), utt2spk
 
 
@@ -107,15 +122,16 @@ def load_features(data_dir, feat_dir):
     from pkr_tpu.io.kaldi_ark import read_mat_scp
     from pkr_tpu.recipes.run import run_features
 
-    run_features(data_dir, feat_dir, batch=32, dither=0.0)
+    if not os.path.exists(os.path.join(feat_dir, "feats.scp")):
+        run_features(data_dir, feat_dir, batch=32, dither=0.0)
     return {u: m for u, m in read_mat_scp(os.path.join(feat_dir, "feats.scp"))}
 
 
-def build_schedule(feats, train_utts, spk_ids, rng):
+def build_schedule(feats, train_utts, spk_ids, rng, epochs):
     """Identical batches for both engines: (steps, B, 40, CROP_T) crops."""
     steps_per_epoch = max(1, len(train_utts) // BATCH)
     xs, ys = [], []
-    for _ in range(EPOCHS):
+    for _ in range(epochs):
         order = rng.permutation(len(train_utts))
         for s in range(steps_per_epoch):
             rows, labs = [], []
@@ -130,20 +146,37 @@ def build_schedule(feats, train_utts, spk_ids, rng):
     return np.stack(xs), np.stack(ys), steps_per_epoch
 
 
-def train_torch(xs, ys, schedule_lr, n_spk):
+def make_torch_softmax_trainer(n_spk):
+    """The reference softmax head: BN+ReLU+Linear on the 256-d embedding
+    (model.py:360-363), trained with CE (imagenet_main.py) — module names
+    (bn1/last) match the flax SpeakerModel(loss='softmax') so
+    import_torch_checkpoint maps the whole state dict."""
     import torch
+    import torch.nn as nn
 
-    from test_engine_parity import TorchAAMTrainer
     from test_torch_import_e2e import TSpeakerModel
 
     stages, base = TRUNKS[TRUNK]
-    torch.manual_seed(SEED)
-    torch.set_num_threads(os.cpu_count() or 1)
-    tm = TorchAAMTrainer(
-        TSpeakerModel(stages, feat_dim=40, base=base), n_spk).train()
-    init_sd = {k: v.clone() for k, v in tm.state_dict().items()}
-    opt = torch.optim.SGD(tm.parameters(), lr=LR0, momentum=0.9,
-                          weight_decay=5e-4)
+
+    class TorchSoftmaxTrainer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base = TSpeakerModel(stages, feat_dim=40, base=base)
+            self.bn1 = nn.BatchNorm1d(256, momentum=0.1, eps=1e-5)
+            self.last = nn.Linear(256, n_spk)
+
+        def forward(self, x, labels):
+            h = torch.relu(self.bn1(self.base(x)))
+            return nn.functional.cross_entropy(self.last(h), labels)
+
+    return TorchSoftmaxTrainer()
+
+
+def _torch_run(tm, xs, ys, schedule_lr, tag):
+    import torch
+
+    opt = torch.optim.SGD(tm.parameters(), lr=float(schedule_lr[0]),
+                          momentum=0.9, weight_decay=5e-4)
     t0 = time.time()
     for i in range(len(xs)):
         for g in opt.param_groups:
@@ -154,13 +187,35 @@ def train_torch(xs, ys, schedule_lr, n_spk):
         opt.step()
         if (i + 1) % 25 == 0:
             el = time.time() - t0
-            print(f"  torch step {i + 1}/{len(xs)} loss {float(loss):.3f} "
-                  f"({el / (i + 1):.1f} s/step, eta "
+            print(f"  torch[{tag}] step {i + 1}/{len(xs)} loss "
+                  f"{float(loss):.3f} ({el / (i + 1):.1f} s/step, eta "
                   f"{el / (i + 1) * (len(xs) - i - 1) / 60:.0f} min)",
                   flush=True)
     dt = time.time() - t0
-    print(f"torch: {len(xs)} steps in {dt:.1f}s, final loss {float(loss):.3f}")
-    return tm, init_sd, dt
+    print(f"torch[{tag}]: {len(xs)} steps in {dt:.1f}s, final loss "
+          f"{float(loss):.3f}", flush=True)
+    return dt
+
+
+def train_torch_two_phase(xs1, ys1, lr1, xs2, ys2, lr2, n_spk):
+    """run_aam_v2.sh stages 7-8: softmax pretrain, then AAM fine-tune
+    warm-started from the softmax trunk+fc1 (the head is discarded and the
+    AAM weight drawn fresh — model.py loadParameters name-tolerant skip).
+    Returns (aam trainer, phase-1 init sd, phase-2 AAM weight init, dt)."""
+    import torch
+
+    from test_engine_parity import TorchAAMTrainer
+
+    torch.manual_seed(SEED)
+    torch.set_num_threads(os.cpu_count() or 1)
+    tm1 = make_torch_softmax_trainer(n_spk).train()
+    init_sd = {k: v.clone() for k, v in tm1.state_dict().items()}
+    dt = _torch_run(tm1, xs1, ys1, lr1, "softmax")
+
+    tm2 = TorchAAMTrainer(tm1.base, n_spk).train()  # shared trained trunk
+    aam_init = tm2.last.detach().clone()
+    dt += _torch_run(tm2, xs2, ys2, lr2, "aam")
+    return tm2, init_sd, aam_init, dt
 
 
 def make_flax_model(n_spk):
@@ -169,32 +224,37 @@ def make_flax_model(n_spk):
     from pkr_tpu.models import SpeakerModel
 
     return SpeakerModel(spk_num=n_spk, feat_dim=40, trunk=TRUNK,
-                        pooling="mean+std", loss="AAM", dtype=jnp.float32)
+                        pooling="mean+std", loss=LOSS, dtype=jnp.float32)
 
 
-def train_pkr(xs, ys, schedule_lr, n_spk, init_sd=None):
-    """init_sd: a torch state dict for identical-init parity runs; None
-    (pilot) trains from the flax-native init."""
+def _pkr_model_state(loss, n_spk, init_sd=None):
+    """Build a flax model+state for one phase; init_sd (a torch state dict
+    with matching names) pins the init for identical-weights parity."""
     import jax
     import jax.numpy as jnp
 
+    from pkr_tpu.models import SpeakerModel
     from pkr_tpu.train.checkpoint import import_torch_checkpoint
-    from pkr_tpu.train.loop import make_train_step
     from pkr_tpu.train.state import create_train_state
 
-    fm = make_flax_model(n_spk)
+    fm = SpeakerModel(spk_num=n_spk, feat_dim=40, trunk=TRUNK,
+                      pooling="mean+std", loss=loss, dtype=jnp.float32)
     variables = fm.init(jax.random.key(SEED), jnp.zeros((1, 40, CROP_T)),
                         jnp.zeros((1,), jnp.int32), train=True)
     if init_sd is not None:
-        sd = {k.replace("base.", ""): v for k, v in init_sd.items()}
-        sd.pop("last", None)
-        sd["last.weight"] = init_sd["last"]
-        variables = import_torch_checkpoint(sd, variables, verbose=False)
+        variables = import_torch_checkpoint(init_sd, variables, verbose=False)
     state = create_train_state(fm, jax.random.key(SEED),
                                jnp.zeros((2, 40, CROP_T)),
                                jnp.zeros((2,), jnp.int32))
-    state = state.replace(params=variables["params"],
-                          batch_stats=variables["batch_stats"])
+    return fm, state.replace(params=variables["params"],
+                             batch_stats=variables["batch_stats"])
+
+
+def _pkr_run(fm, state, xs, ys, schedule_lr, tag):
+    import jax.numpy as jnp
+
+    from pkr_tpu.train.loop import make_train_step
+
     _, step = make_train_step(fm)
     t0 = time.time()
     for i in range(len(xs)):
@@ -202,9 +262,55 @@ def train_pkr(xs, ys, schedule_lr, n_spk, init_sd=None):
                               jnp.asarray(schedule_lr[i], jnp.float32))
     loss = float(metrics["loss"])
     dt = time.time() - t0
-    print(f"pkr_tpu: {len(xs)} steps in {dt:.1f}s, final loss {loss:.3f}, "
-          f"final acc1 {float(metrics['acc1']):.3f}")
-    return fm, state, dt
+    print(f"pkr_tpu[{tag}]: {len(xs)} steps in {dt:.1f}s, final loss "
+          f"{loss:.3f}, final acc1 {float(metrics['acc1']):.3f}", flush=True)
+    return state, dt
+
+
+def _warm_start(variables_from, variables_to):
+    """Name-intersection copy (reference loadParameters semantics,
+    model.py:415-432): trunk+fc1 carry over, the head is re-drawn."""
+    def walk(src, dst):
+        out = {}
+        for k, v in dst.items():
+            if k in src and isinstance(v, dict):
+                out[k] = walk(src[k], v)
+            elif k in src and getattr(src[k], "shape", None) == v.shape:
+                out[k] = src[k]
+            else:
+                out[k] = v
+        return out
+
+    return walk(variables_from, variables_to)
+
+
+def train_pkr_two_phase(xs1, ys1, lr1, xs2, ys2, lr2, n_spk,
+                        init_sd=None, aam_init=None):
+    """Softmax pretrain then AAM fine-tune with the SAME warm-start rule
+    as the torch engine (trained trunk+fc1 carried over, identical fresh
+    AAM weight).  init_sd/aam_init=None (pilot) uses flax-native inits."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = None
+    if init_sd is not None:
+        sd = {k.replace("base.", ""): v for k, v in init_sd.items()}
+    fm1, state1 = _pkr_model_state("softmax", n_spk, sd)
+    state1, dt = _pkr_run(fm1, state1, xs1, ys1, lr1, "softmax")
+
+    fm2, state2 = _pkr_model_state("AAM", n_spk)
+    params = _warm_start(state1.params, jax.tree.map(lambda x: x,
+                                                     state2.params))
+    if aam_init is not None:
+        import numpy as _np
+
+        params = dict(params)
+        params["aam_weight"] = jnp.asarray(_np.asarray(aam_init), jnp.float32)
+    bstats = _warm_start(state1.batch_stats,
+                         jax.tree.map(lambda x: x, state2.batch_stats))
+    state2 = state2.replace(params=params, batch_stats=bstats)
+    state2, dt2 = _pkr_run(fm2, state2, xs2, ys2, lr2, "aam")
+    return fm2, state2, dt + dt2
 
 
 def eval_embeddings_torch(tm, feats, utts, batch=64):
@@ -292,15 +398,27 @@ def run_once(root, pilot=False):
     eval_utts = [u for u in utts if int(u.split("utt")[1]) >= N_UTT - N_EVAL]
 
     rng = np.random.default_rng(SEED)
-    xs, ys, spe = build_schedule(feats, train_utts, spk_ids, rng)
-    lr = np.concatenate([
-        np.full(spe, 0.5 * LR0 * (1 + np.cos(np.pi * e / EPOCHS)))
-        for e in range(EPOCHS)])
+
+    def cosine_lr(spe, epochs, lr0, lr_final=0.0):
+        # per-epoch cosine (train_resnet.py:206 CosineAnnealingLR semantics)
+        return np.concatenate([
+            np.full(spe, lr_final + 0.5 * (lr0 - lr_final)
+                    * (1 + np.cos(np.pi * e / epochs)))
+            for e in range(epochs)])
+
+    # two-phase schedule, run_aam_v2.sh stages 7-8: softmax pretrain
+    # (imagenet_main.py, cosine eta_min=0) then AAM fine-tune (cosine 0.1→0)
+    xs1, ys1, spe = build_schedule(feats, train_utts, spk_ids, rng,
+                                   EPOCHS_SOFTMAX)
+    xs2, ys2, _ = build_schedule(feats, train_utts, spk_ids, rng, EPOCHS)
+    lr1 = cosine_lr(spe, EPOCHS_SOFTMAX, LR0)
+    lr2 = cosine_lr(spe, EPOCHS, LR0)
     print(f"seed {SEED}: {len(train_utts)} train / {len(eval_utts)} eval "
-          f"utts, {len(xs)} steps", flush=True)
+          f"utts, {len(xs1)}+{len(xs2)} steps (softmax+AAM)", flush=True)
 
     if pilot:
-        fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK)
+        fm, state, t_pkr = train_pkr_two_phase(xs1, ys1, lr1, xs2, ys2, lr2,
+                                               N_SPK)
         emb_p = eval_embeddings_pkr(fm, state, feats, eval_utts)
         s_p, l_p, eer_p, dcf1_p, dcf2_p = score(emb_p, eval_utts, utt2spk)
         print(f"PILOT seed {SEED}: EER {eer_p:.4f}  minDCF(.01) {dcf1_p:.4f}"
@@ -308,8 +426,10 @@ def run_once(root, pilot=False):
               f"{int(np.sum(l_p))} target)")
         return dict(seed=SEED, eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p)
 
-    tm, init_sd, t_torch = train_torch(xs, ys, lr, N_SPK)
-    fm, state, t_pkr = train_pkr(xs, ys, lr, N_SPK, init_sd)
+    tm, init_sd, aam_init, t_torch = train_torch_two_phase(
+        xs1, ys1, lr1, xs2, ys2, lr2, N_SPK)
+    fm, state, t_pkr = train_pkr_two_phase(xs1, ys1, lr1, xs2, ys2, lr2,
+                                           N_SPK, init_sd, aam_init)
 
     emb_t = eval_embeddings_torch(tm, feats, eval_utts)
     emb_p = eval_embeddings_pkr(fm, state, feats, eval_utts)
@@ -322,11 +442,12 @@ def run_once(root, pilot=False):
                 dci_t=dci_t,
                 eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p, ci_p=ci_p,
                 dci_p=dci_p,
-                t_torch=t_torch, t_pkr=t_pkr, steps=len(xs))
+                t_torch=t_torch, t_pkr=t_pkr,
+                steps=len(xs1) + len(xs2))
 
 
 def main():
-    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J
+    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J, LOSS, LR0, EPOCHS_SOFTMAX
 
     import argparse
 
@@ -336,11 +457,18 @@ def main():
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--spk", type=int, default=N_SPK)
     ap.add_argument("--utt", type=int, default=N_UTT)
-    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    ap.add_argument("--epochs", type=int, default=EPOCHS,
+                    help="AAM fine-tune epochs (phase 2)")
+    ap.add_argument("--softmax-epochs", type=int,
+                    default=EPOCHS_SOFTMAX)
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--crop", type=int, default=CROP_T)
     ap.add_argument("--noise", type=float, default=NOISE)
     ap.add_argument("--amp-jitter", type=float, default=AMP_J)
+    ap.add_argument("--loss", type=str, default="AAM")
+    ap.add_argument("--lr", type=float, default=LR0)
+    ap.add_argument("--root", type=str, default=None,
+                    help="reusable corpus/feature root (pilots)")
     ap.add_argument("--trunk", type=str, default=TRUNK, choices=sorted(TRUNKS))
     ap.add_argument("--pilot", action="store_true",
                     help="pkr engine only (no torch): fast difficulty check")
@@ -348,8 +476,11 @@ def main():
                     default=os.path.join(REPO, "PARITY_E2E.md"))
     args = ap.parse_args()
     N_SPK, N_UTT, EPOCHS = args.spk, args.utt, args.epochs
+    EPOCHS_SOFTMAX = args.softmax_epochs
     TRUNK, BATCH, CROP_T, NOISE = args.trunk, args.batch, args.crop, args.noise
     AMP_J = args.amp_jitter
+    LOSS = args.loss
+    LR0 = args.lr
 
     from pkr_tpu.utils import enable_compile_cache
 
@@ -357,14 +488,19 @@ def main():
 
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="parity_e2e_")
+    root = args.root or tempfile.mkdtemp(prefix="parity_e2e_")
+    os.makedirs(root, exist_ok=True)
     rows = []
     for s in range(args.seed_start, args.seed_start + args.seeds):
         SEED = s
         rows.append(run_once(root, pilot=args.pilot))
+        if not args.pilot:
+            _write_doc(rows, args)  # incremental: each seed lands on disk
     if args.pilot:
         return
 
+
+def _write_doc(rows, args):
     r = rows[0]
     t_torch, t_pkr, xs_len = r["t_torch"], r["t_pkr"], r["steps"]
 
@@ -372,15 +508,21 @@ def main():
         "# PARITY_E2E — end-to-end quality parity vs the reference torch engine",
         "",
         f"Generated by `tools/parity_e2e.py --trunk {TRUNK} --seeds "
-        f"{args.seeds} --spk {N_SPK} --utt {N_UTT} --epochs {EPOCHS} "
-        f"--batch {BATCH} --crop {CROP_T}`.",
+        f"{args.seeds} --spk {N_SPK} --utt {N_UTT} --softmax-epochs "
+        f"{EPOCHS_SOFTMAX} --epochs {EPOCHS} "
+        f"--batch {BATCH} --crop {CROP_T}` ({len(rows)} seed(s) so far).",
         "Per seed, both engines trained from IDENTICAL initial weights on",
         f"an identical batch schedule: {N_SPK} synthetic speakers x "
         f"{N_UTT - N_EVAL} train utts",
-        f"({SECONDS}s each), **{TRUNK}** trunk + mean+std pooling + AAM head",
-        f"(m=0.2, s=30), SGD momentum 0.9 / wd 5e-4, cosine LR {LR0}->0 over",
-        f"{EPOCHS} epochs ({xs_len} steps, batch {BATCH}, {CROP_T}-frame",
-        "crops).  Held-out trials: 1 enroll + "
+        f"({SECONDS}s each), **{TRUNK}** trunk + mean+std pooling, with the",
+        "reference's TWO-PHASE recipe (run_aam_v2.sh stages 7-8): softmax",
+        f"pretrain (BN+ReLU+Linear head, {EPOCHS_SOFTMAX} epochs, cosine LR "
+        f"{LR0}->0),",
+        "then AAM fine-tune (m=0.2, s=30) warm-started from the softmax",
+        f"trunk+fc1 with an identical fresh AAM weight, {EPOCHS} epochs.",
+        f"SGD momentum 0.9 / wd 5e-4, {xs_len} total steps, batch {BATCH}, "
+        f"{CROP_T}-frame",
+        "crops.  Held-out trials: 1 enroll + "
         f"{N_EVAL - 1} test utts per speaker, all",
         f"pairs = {r['n_trials']} trials ({r['n_target']} target / "
         f"{r['n_trials'] - r['n_target']} nontarget — enough nontarget mass",
@@ -450,7 +592,7 @@ def main():
     doc = "\n".join(lines)
     with open(args.out, "w") as f:
         f.write(doc)
-    print(doc)
+    print(doc, flush=True)
 
 
 if __name__ == "__main__":
