@@ -597,17 +597,20 @@ def cm_quantize_columns(colmaj: np.ndarray, gmin: float, grange: float
     return codes_u16, pct.astype(np.float32), data
 
 
-def compress_matrix(mat: np.ndarray, method: int = 1) -> bytes:
+def compress_matrix(mat: np.ndarray, method: Optional[int] = None) -> bytes:
     """Encode float32 matrix as Kaldi CompressedMatrix bytes (including the
     'CM '/'CM2 '/'CM3 ' token, excluding the '\\0B' binary flag).
 
-    method: 1 = kOneByteWithColHeaders (the copy-feats --compress default
-    for tall matrices), 2 = kTwoByte (what kAutomaticMethod picks for
-    ≤ 8-row matrices), 3 = kOneByte.  Codes follow Kaldi's
-    FloatToUint16/FloatToUint8: floor(f·N + 0.499) on the clipped [0,1]
-    normalized value."""
+    method: 1 = kOneByteWithColHeaders (the copy-feats --compress choice
+    for tall matrices), 2 = kTwoByte, 3 = kOneByte; None follows Kaldi's
+    kAutomaticMethod — format 2 for ≤ 8-row matrices (whose percentile
+    headers would dominate / degenerate), format 1 otherwise.  Codes follow
+    Kaldi's FloatToUint16/FloatToUint8: floor(f·N + 0.499) on the clipped
+    [0,1] normalized value."""
     mat = np.asarray(mat, dtype=np.float32)
     rows, cols = mat.shape
+    if method is None:
+        method = 2 if rows <= 8 else 1
     gmin = float(mat.min()) if mat.size else 0.0
     grange = float(mat.max()) - gmin if mat.size else 1.0
     if grange <= 0.0:

@@ -304,3 +304,25 @@ def test_load_text_vec_ark_merges_process_shards(tmp_path):
     got = ka.load_text_vec_ark(base)
     assert set(got) == {"u1", "u2"}
     np.testing.assert_array_equal(got["u2"], b["u2"])
+
+
+def test_compress_auto_method_matches_kaldi(tmp_path):
+    """kAutomaticMethod parity: copy-feats --compress picks format 2 for
+    <=8-row matrices, format 1 otherwise — the writer must do the same so
+    foreign Kaldi readers see familiar bytes."""
+    rng = np.random.default_rng(50)
+    short = rng.standard_normal((6, 10)).astype(np.float32)
+    tall = rng.standard_normal((40, 10)).astype(np.float32)
+    assert ka.compress_matrix(short)[:4] == b"CM2 "
+    assert ka.compress_matrix(tall)[:3] == b"CM "
+    # both round-trip through the standard path
+    p = tmp_path / "auto.ark"
+    with ka.write_ark_scp(str(p), str(tmp_path / "auto.scp"),
+                                 compress=True) as w:
+        w.write("short", short)
+        w.write("tall", tall)
+    got = {k: m for k, m in ka.read_mat_ark(str(p))}
+    assert got["short"].shape == short.shape
+    np.testing.assert_allclose(got["short"], short,
+                               atol=1.1 * np.ptp(short) / 65535)
+    np.testing.assert_allclose(got["tall"], tall, atol=0.03 * np.ptp(tall))
