@@ -89,6 +89,19 @@ class SpeakerModel(nn.Module):
         pooled = stats_pool(fmap, tmask, self.pooling)
         return self.fc1(flatten_pooled(pooled))
 
+    def head_input(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                   train: bool = False) -> jnp.ndarray:
+        """The tensor the classifier weight actually consumes: the raw
+        embedding for 'AAM', relu(bn1(emb)) for 'AAM-v1'/'softmax'
+        (model.py:360-369).  This is what the flash classifier loss feeds
+        its cosine tiles, so flash mode covers every AAM variant; serving
+        still uses `embed` (reference predict() returns the pre-head
+        embedding, model.py:402-409)."""
+        emb = self.embed(x, mask, train)
+        if self.loss == "AAM":
+            return emb
+        return nn.relu(self.bn1(emb, use_running_average=not train))
+
     def __call__(self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None, train: bool = False) -> jnp.ndarray:
         """Returns classification logits (B, spk_num) — model.py:374-400."""

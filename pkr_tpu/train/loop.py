@@ -58,10 +58,10 @@ def make_train_step(model, tx=None,
     sharded batch."""
     tx = tx or make_optimizer(momentum, weight_decay)
     if flash_aam:
-        assert model.loss == "AAM", (
-            f"flash_aam implements the plain AAM head; model.loss="
-            f"{model.loss!r} ('AAM-v1' adds a bn1+ReLU the flash kernel "
-            f"does not apply)")
+        assert model.loss in ("AAM", "AAM-v1"), (
+            f"flash_aam needs an AAM-family head, got {model.loss!r}; "
+            "the head input (raw emb for AAM, relu(bn1(emb)) for AAM-v1) "
+            "comes from SpeakerModel.head_input")
     if flash_interpret is None:  # Pallas compiles only on TPU; interpret on CPU
         flash_interpret = jax.default_backend() != "tpu"
     flash_loss_fn = None
@@ -83,7 +83,7 @@ def make_train_step(model, tx=None,
                 emb, updates = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, None, True, mutable=["batch_stats"],
-                    method=SpeakerModel.embed)
+                    method=SpeakerModel.head_input)
                 if flash_loss_fn is not None:  # mesh-composed shard_map path
                     loss, acc = flash_loss_fn(emb, params["aam_weight"],
                                               labels)
@@ -142,7 +142,8 @@ def make_eval_step(model, flash_aam: bool = False,
     the kernel's online max (dense-equivalent margined argmax) and drives
     best-tracking exactly like the dense path; top-5 stays -1."""
     if flash_aam:
-        assert model.loss == "AAM", f"flash_aam needs loss='AAM', got {model.loss!r}"
+        assert model.loss in ("AAM", "AAM-v1"), (
+            f"flash_aam needs an AAM-family head, got {model.loss!r}")
     if flash_interpret is None:
         flash_interpret = jax.default_backend() != "tpu"
     flash_loss_fn = None
@@ -162,7 +163,7 @@ def make_eval_step(model, flash_aam: bool = False,
 
             emb = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                feats, None, False, method=SpeakerModel.embed)
+                feats, None, False, method=SpeakerModel.head_input)
             if flash_loss_fn is not None:
                 loss, acc = flash_loss_fn(emb, state.params["aam_weight"],
                                           labels)

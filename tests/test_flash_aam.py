@@ -382,3 +382,37 @@ def test_flash_class_sharded_acc_merges_shards():
                                 weight_sharded=True, with_acc=True)
     loss, acc = jax.jit(fn)(emb, weight, labels)
     assert float(acc) == dense_acc
+
+
+def test_flash_aam_v1_matches_dense():
+    """Flash mode covers the 'AAM-v1' head (bn1+ReLU before the margin,
+    model.py:366-369): one optimizer step matches the dense head, including
+    the bn1 statistics update."""
+    from pkr_tpu.models import SpeakerModel
+    from pkr_tpu.train.loop import make_train_step
+    from pkr_tpu.train.state import create_train_state
+
+    model = SpeakerModel(spk_num=12, feat_dim=8, trunk="tiny_resnet",
+                         loss="AAM-v1", dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.standard_normal((8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(np.arange(8) % 12)
+    state0 = create_train_state(model, jax.random.key(0), feats, labels)
+
+    _, dense_step = make_train_step(model)
+    _, flash_step = make_train_step(model, flash_aam=True,
+                                    flash_interpret=True)
+    lr = jnp.asarray(0.05, jnp.float32)
+    s_dense, m_dense = dense_step(state0, feats, labels, lr)
+    s_flash, m_flash = flash_step(state0, feats, labels, lr)
+    assert abs(float(m_dense["loss"]) - float(m_flash["loss"])) < 1e-3
+    assert float(m_flash["acc1"]) == float(m_dense["acc1"])
+    np.testing.assert_allclose(
+        np.asarray(s_flash.params["aam_weight"]),
+        np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_flash.params["bn1"]["scale"]),
+        np.asarray(s_dense.params["bn1"]["scale"]), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_flash.batch_stats["bn1"]["mean"]),
+        np.asarray(s_dense.batch_stats["bn1"]["mean"]), rtol=1e-4, atol=1e-6)
