@@ -318,6 +318,7 @@ class ShardedDeviceFeatureCache:
         """local_utt_ids: (n_data * B_local,) — segment d indexes INTO shard
         d's utterance list.  Returns (feats (B_global, F, T), labels), both
         sharded P('data') over the mesh, ready for the pjit train step."""
+        assert seq_len <= _CROP_PAD, (seq_len, _CROP_PAD)
         if seq_len not in self._sample_fn:
             self._sample_fn[seq_len] = self._build_sample(seq_len)
         return self._sample_fn[seq_len](

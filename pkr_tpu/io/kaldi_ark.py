@@ -333,7 +333,9 @@ def read_mat_dims(file_or_fd) -> Tuple[int, int]:
         token = fd.read(3)
         if token.startswith(b"CM"):
             if token in (b"CM2", b"CM3"):
-                assert fd.read(1) == b" ", "malformed CM2/CM3 token"
+                sp = fd.read(1)  # not inside assert: the read must survive -O
+                if sp != b" ":
+                    raise ValueError(f"malformed {token!r} token")
             elif token != b"CM ":
                 raise ValueError(f"unsupported compression {token!r}")
             _, _, rows, cols = struct.unpack("<ffii", fd.read(16))
@@ -512,8 +514,11 @@ def decompress_matrix(fd: BinaryIO, token: bytes = b"CM ") -> np.ndarray:
     hit this path (the reference's reader lacked it and hard-failed).
     """
     if token in (b"CM2", b"CM3"):
-        # tokens on disk are 'CM2 '/'CM3 ' (WriteToken appends the space)
-        assert fd.read(1) == b" ", "malformed CM2/CM3 token"
+        # tokens on disk are 'CM2 '/'CM3 ' (WriteToken appends the space);
+        # the read stays outside the check so python -O cannot strip it
+        sp = fd.read(1)
+        if sp != b" ":
+            raise ValueError(f"malformed {token!r} token")
         gmin, grange, rows, cols = struct.unpack("<ffii", fd.read(16))
         if token == b"CM2":
             data = np.frombuffer(fd.read(2 * rows * cols),

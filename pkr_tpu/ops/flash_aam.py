@@ -251,7 +251,8 @@ def flash_aam_loss(emb: jnp.ndarray, weight: jnp.ndarray, labels: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
     """Mean ArcFace cross-entropy over the batch without materializing
     (B, n_classes) logits.  emb (B, D) f32, weight (n_classes, D) f32."""
-    (loss, _acc), _ = _flash_fwd(emb, weight, labels, m, s, tile, interpret)
+    (loss, _acc), _ = _flash_fwd_core(emb, weight, labels, m, s, tile,
+                                      interpret)
     return loss
 
 
@@ -267,12 +268,6 @@ def _flash_fwd_core(emb, weight, labels, m, s, tile, interpret):
                               tile, interpret)
     loss = jnp.mean(lse - zy)
     return (loss, _acc_from(zy, mx)), (e_hat, e_norm, weight, labels, lse)
-
-
-def _flash_fwd(emb, weight, labels, m, s, tile, interpret):
-    (loss, acc), res = _flash_fwd_core(emb, weight, labels, m, s, tile,
-                                       interpret)
-    return (loss, acc), res
 
 
 def _flash_bwd_core(m, s, tile, interpret, residuals, gloss):
@@ -314,7 +309,7 @@ def _flash_acc_bwd(m, s, tile, interpret, residuals, g):
     return _flash_bwd_core(m, s, tile, interpret, residuals, gloss)
 
 
-flash_aam_loss_acc.defvjp(_flash_fwd, _flash_acc_bwd)
+flash_aam_loss_acc.defvjp(_flash_fwd_core, _flash_acc_bwd)
 
 
 def reference_aam_loss(emb, weight, labels, m=0.2, s=30.0):

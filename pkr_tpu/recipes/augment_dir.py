@@ -262,6 +262,12 @@ class AugmentPools:
             return
         if self._prefetch["thread"].is_alive():
             return
+        for kind, err in self._prefetch["errors"].items():
+            # a failed shard read must be VISIBLE, not silently skipped:
+            # the kind keeps its current pool this cycle and rotation
+            # retries it next time
+            print(f"WARNING: augment pool shard prefetch failed for "
+                  f"'{kind}': {err!r} — keeping the current shard")
         for kind, pool in self._prefetch["pools"].items():
             self.pools[kind] = pool
             if self._augmenter is not None:
@@ -273,11 +279,14 @@ class AugmentPools:
     def _start_prefetch(self, kinds: List[str]) -> None:
         import threading
 
-        box = {"pools": {}, "thread": None}
+        box = {"pools": {}, "errors": {}, "thread": None}
 
         def work():
             for kind in kinds:
-                box["pools"][kind] = self._read_shard(kind)
+                try:
+                    box["pools"][kind] = self._read_shard(kind)
+                except Exception as e:  # surfaced at swap time
+                    box["errors"][kind] = e
 
         box["thread"] = threading.Thread(target=work, daemon=True)
         box["thread"].start()

@@ -120,11 +120,14 @@ def _parse_record(tokens: List[str]) -> Dict[str, str]:
     """argparse-style '--key value ... positional' record line."""
     out: Dict[str, str] = {}
     pos = []
-    it = iter(range(len(tokens)))
     i = 0
     while i < len(tokens):
         t = tokens[i]
         if t.startswith("--"):
+            if i + 1 >= len(tokens):
+                raise ValueError(
+                    f"malformed record: flag {t!r} has no value in "
+                    f"{' '.join(tokens)!r}")
             key = t[2:].replace("-", "_")
             out[key] = tokens[i + 1]
             i += 2

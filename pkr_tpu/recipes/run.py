@@ -391,9 +391,19 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str,
     assert restored is not None, "no checkpoint to extract from"
     variables = {"params": restored.params, "batch_stats": restored.batch_stats}
     if subset:
-        scp = select_decode_subset(
-            scp, subset, cfg.train.seed,
-            os.path.join(exp_dir, f"decode_{out_name}.scp"))
+        sub_path = os.path.join(exp_dir, f"decode_{out_name}.scp")
+        # multi-host: only rank 0 writes the subset scp (concurrent 'w'
+        # opens on shared storage could hand a peer a torn file), everyone
+        # reads it after the barrier — same selection on every host since
+        # rank 0's seeded choice is what lands on disk
+        if jax.process_index() == 0:
+            scp = select_decode_subset(scp, subset, cfg.train.seed, sub_path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"decode-subset-{out_name}")
+            if os.path.exists(sub_path):
+                scp = sub_path
     src = FeatureSource(scp)
     pi, pc = jax.process_index(), jax.process_count()
     # multi-host: each host extracts ITS utterance shard on its LOCAL

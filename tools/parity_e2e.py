@@ -53,8 +53,6 @@ EPOCHS_SOFTMAX = 10  # softmax pretrain epochs (phase 1)
 LR0 = 0.1
 SEED = 0
 TRUNK = "resnet34"
-LOSS = "AAM"
-LR0_ARG = None
 NOISE = 500.0       # additive noise floor (peak signal is 3000)
 AMP_J = 0.25        # within-speaker harmonic amplitude jitter (1±AMP_J)
 
@@ -79,12 +77,26 @@ def synth_corpus(root):
     from pkr_tpu.io.datadir import DataDir
     from pkr_tpu.io.wav import write_wav
 
-    done = os.path.join(root, ".done")
-    if os.path.exists(done):
-        import json
+    import json
 
-        utt2spk = json.load(open(done))
-        return sorted(utt2spk), utt2spk
+    done = os.path.join(root, ".done")
+    # the cache is only valid for the SAME corpus-shaping parameters — a
+    # reused --root with different knobs must re-synthesize, not silently
+    # serve the stale corpus
+    params = dict(seed=SEED, n_spk=N_SPK, n_utt=N_UTT, seconds=SECONDS,
+                  noise=NOISE, amp_j=AMP_J)
+    if os.path.exists(done):
+        cached = json.load(open(done))
+        if cached.get("params") == params:
+            utt2spk = cached["utt2spk"]
+            return sorted(utt2spk), utt2spk
+        print(f"corpus cache params changed ({cached.get('params')} -> "
+              f"{params}): re-synthesizing {root}", flush=True)
+        feat_dir = os.path.join(os.path.dirname(root),
+                                os.path.basename(root).replace("data_", "feats_"))
+        import shutil
+
+        shutil.rmtree(feat_dir, ignore_errors=True)
     rng = np.random.default_rng(SEED)
     os.makedirs(root, exist_ok=True)
     n = int(SECONDS * RATE)
@@ -111,10 +123,8 @@ def synth_corpus(root):
             utt2spk[utt] = f"spk{i:03d}"
             wav[utt] = path
     DataDir({"utt2spk": utt2spk, "wav.scp": wav}).make_spk2utt().save(root)
-    import json
-
-    with open(os.path.join(root, ".done"), "w") as f:
-        json.dump(utt2spk, f)
+    with open(done, "w") as f:
+        json.dump({"params": params, "utt2spk": utt2spk}, f)
     return sorted(utt2spk), utt2spk
 
 
@@ -216,15 +226,6 @@ def train_torch_two_phase(xs1, ys1, lr1, xs2, ys2, lr2, n_spk):
     aam_init = tm2.last.detach().clone()
     dt += _torch_run(tm2, xs2, ys2, lr2, "aam")
     return tm2, init_sd, aam_init, dt
-
-
-def make_flax_model(n_spk):
-    import jax.numpy as jnp
-
-    from pkr_tpu.models import SpeakerModel
-
-    return SpeakerModel(spk_num=n_spk, feat_dim=40, trunk=TRUNK,
-                        pooling="mean+std", loss=LOSS, dtype=jnp.float32)
 
 
 def _pkr_model_state(loss, n_spk, init_sd=None):
@@ -447,7 +448,7 @@ def run_once(root, pilot=False):
 
 
 def main():
-    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J, LOSS, LR0, EPOCHS_SOFTMAX
+    global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J, LR0, EPOCHS_SOFTMAX
 
     import argparse
 
@@ -465,7 +466,6 @@ def main():
     ap.add_argument("--crop", type=int, default=CROP_T)
     ap.add_argument("--noise", type=float, default=NOISE)
     ap.add_argument("--amp-jitter", type=float, default=AMP_J)
-    ap.add_argument("--loss", type=str, default="AAM")
     ap.add_argument("--lr", type=float, default=LR0)
     ap.add_argument("--root", type=str, default=None,
                     help="reusable corpus/feature root (pilots)")
@@ -479,7 +479,6 @@ def main():
     EPOCHS_SOFTMAX = args.softmax_epochs
     TRUNK, BATCH, CROP_T, NOISE = args.trunk, args.batch, args.crop, args.noise
     AMP_J = args.amp_jitter
-    LOSS = args.loss
     LR0 = args.lr
 
     from pkr_tpu.utils import enable_compile_cache
