@@ -129,12 +129,27 @@ def synth_corpus(root):
 
 
 def load_features(data_dir, feat_dir):
+    import shutil
+
     from pkr_tpu.io.kaldi_ark import read_mat_scp
     from pkr_tpu.recipes.run import run_features
 
-    if not os.path.exists(os.path.join(feat_dir, "feats.scp")):
-        run_features(data_dir, feat_dir, batch=32, dither=0.0)
-    return {u: m for u, m in read_mat_scp(os.path.join(feat_dir, "feats.scp"))}
+    scp = os.path.join(feat_dir, "feats.scp")
+    want = set()
+    with open(os.path.join(data_dir, "utt2spk")) as f:
+        for line in f:
+            want.add(line.split()[0])
+    if os.path.exists(scp):
+        feats = {u: m for u, m in read_mat_scp(scp)}
+        if set(feats) >= want:
+            return feats
+        # A killed/hung extraction leaves a partial ark behind a valid scp;
+        # trusting it crashes the schedule builder downstream — recompute.
+        print(f"feature cache incomplete ({len(feats)}/{len(want)} utts): "
+              f"re-extracting {feat_dir}", flush=True)
+        shutil.rmtree(feat_dir)
+    run_features(data_dir, feat_dir, batch=32, dither=0.0)
+    return {u: m for u, m in read_mat_scp(scp)}
 
 
 def build_schedule(feats, train_utts, spk_ids, rng, epochs):
@@ -447,6 +462,83 @@ def run_once(root, pilot=False):
                 steps=len(xs1) + len(xs2))
 
 
+def chaos_calibration(root):
+    """Same-engine sensitivity curve: rerun the pkr two-phase recipe on one
+    seed with every init weight multiplied by (1 + eps*N(0,1)) for a ladder
+    of eps, identical schedule otherwise.  Two engines that implement the
+    same math with different op lowerings (conv algorithm, reduction order)
+    inject relative noise of roughly 1e-7..1e-6 per step, so the eps at
+    which EER/minDCF move by the observed per-seed torch-vs-pkr gaps tells
+    us whether those gaps are attributable to float-level trajectory
+    divergence (PARITY_E2E.md's paired-test rationale, made quantitative)."""
+    import jax
+    import jax.numpy as jnp
+
+    data_dir = os.path.join(root, f"data_s{SEED}")
+    utts, utt2spk = synth_corpus(data_dir)
+    feats = load_features(data_dir, os.path.join(root, f"feats_s{SEED}"))
+    spks = sorted({s for s in utt2spk.values()})
+    spk_idx = {s: i for i, s in enumerate(spks)}
+    spk_ids = {u: spk_idx[s] for u, s in utt2spk.items()}
+    train_utts = [u for u in utts if int(u.split("utt")[1]) < N_UTT - N_EVAL]
+    eval_utts = [u for u in utts if int(u.split("utt")[1]) >= N_UTT - N_EVAL]
+    rng = np.random.default_rng(SEED)
+    spe = max(1, len(train_utts) // BATCH)
+    xs1, ys1, _ = build_schedule(feats, train_utts, spk_ids, rng,
+                                 EPOCHS_SOFTMAX)
+    xs2, ys2, _ = build_schedule(feats, train_utts, spk_ids, rng, EPOCHS)
+
+    def cos(epochs):
+        return np.concatenate([
+            np.full(spe, 0.5 * LR0 * (1 + np.cos(np.pi * e / epochs)))
+            for e in range(epochs)])
+
+    def jiggle(tree, eps, nrng):
+        # Multiplicative Gaussian noise on every weight — the closest
+        # same-engine analogue of a different op lowering's rounding noise.
+        return jax.tree.map(
+            lambda x: x * (1.0 + eps * jnp.asarray(
+                nrng.standard_normal(x.shape), x.dtype)), tree)
+
+    rows, emb0 = [], None
+    for eps in (0.0, 1e-7, 1e-6, 1e-5, 1e-4):
+        tag = f"eps{eps:.0e}" if eps else "baseline"
+        fm1, st1 = _pkr_model_state("softmax", N_SPK)
+        if eps:
+            nrng = np.random.default_rng(12345)  # same noise DIRECTION per eps
+            st1 = st1.replace(params=jiggle(st1.params, eps, nrng))
+        st1, _ = _pkr_run(fm1, st1, xs1, ys1, cos(EPOCHS_SOFTMAX),
+                          f"sm-{tag}")
+        fm2, st2 = _pkr_model_state("AAM", N_SPK)
+        params = _warm_start(st1.params, jax.tree.map(lambda x: x,
+                                                      st2.params))
+        bstats = _warm_start(st1.batch_stats,
+                             jax.tree.map(lambda x: x, st2.batch_stats))
+        st2 = st2.replace(params=params, batch_stats=bstats)
+        st2, _ = _pkr_run(fm2, st2, xs2, ys2, cos(EPOCHS), f"aam-{tag}")
+        emb = eval_embeddings_pkr(fm2, st2, feats, eval_utts)
+        _s, _l, eer, dcf1, dcf2 = score(emb, eval_utts, utt2spk)
+        if emb0 is None:
+            emb0, demb = emb, 0.0
+        else:
+            demb = float(np.mean([
+                np.max(np.abs(np.asarray(emb[u]) - np.asarray(emb0[u])))
+                for u in eval_utts]))
+        print(f"chaos[{tag}]: EER {eer:.4f}  minDCF(.01) {dcf1:.4f}  "
+              f"minDCF(.001) {dcf2:.4f}  mean-max|demb| {demb:.2e}",
+              flush=True)
+        rows.append((eps, eer, dcf1, dcf2, demb))
+    base = rows[0]
+    print(f"CHAOS CALIBRATION seed {SEED} "
+          f"(same engine, init x(1+eps*N(0,1)), {len(xs1)+len(xs2)} steps):",
+          flush=True)
+    for eps, eer, dcf1, dcf2, demb in rows[1:]:
+        print(f"  eps={eps:.0e}: |dEER| {abs(eer-base[1]):.4f}  "
+              f"|dminDCF(.01)| {abs(dcf1-base[2]):.4f}  "
+              f"|dminDCF(.001)| {abs(dcf2-base[3]):.4f}  "
+              f"mean-max|demb| {demb:.2e}", flush=True)
+
+
 def main():
     global SEED, N_SPK, N_UTT, EPOCHS, TRUNK, BATCH, CROP_T, NOISE, AMP_J, LR0, EPOCHS_SOFTMAX
 
@@ -472,6 +564,11 @@ def main():
     ap.add_argument("--trunk", type=str, default=TRUNK, choices=sorted(TRUNKS))
     ap.add_argument("--pilot", action="store_true",
                     help="pkr engine only (no torch): fast difficulty check")
+    ap.add_argument("--chaos", action="store_true",
+                    help="chaos calibration: run the pkr engine twice on "
+                         "one seed, identical except a 1e-7 init "
+                         "perturbation — the metric deltas bound what "
+                         "trajectory divergence alone produces")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "PARITY_E2E.md"))
     args = ap.parse_args()
@@ -503,6 +600,10 @@ def main():
                 by_seed[r["seed"]] = r  # latest wins
         return [by_seed[k] for k in sorted(by_seed)]
 
+    if args.chaos:
+        SEED = args.seed_start
+        chaos_calibration(root)
+        return
     for s in range(args.seed_start, args.seed_start + args.seeds):
         SEED = s
         row = run_once(root, pilot=args.pilot)
