@@ -335,7 +335,12 @@ class WavAugmenter:
                 if self.reverb_planner is not None:
                     nl = self._host_lens.get("rvb_noise")
                     for r in rows:
-                        plan = self.reverb_planner.draw(int(lengths[r]), nl)
+                        # slot cap passed into the draw so the planner's
+                        # cyclic SNR iterators never advance for noises the
+                        # S-slot mix couldn't hold (planner.cap_hits counts
+                        # utterances where the cap bound)
+                        plan = self.reverb_planner.draw(int(lengths[r]), nl,
+                                                        max_slots=S - 1)
                         if plan is None:  # dry: delta RIR, no noises
                             src[r, 0] = len(self.rirs[1]) - 1
                             continue
@@ -343,8 +348,9 @@ class WavAugmenter:
                         # appended by recipes.augment_dir (index K-1)
                         src[r, 0] = (plan.rir if plan.rir >= 0
                                      else len(self.rirs[1]) - 1)
+                        assert len(plan.noises) <= S - 1
                         for i, (ni, snr, s0, d) in enumerate(
-                                plan.noises[:S - 1], start=1):
+                                plan.noises, start=1):
                             src[r, i] = ni
                             snrs[r, i] = snr
                             sig_starts[r, i] = s0
@@ -353,7 +359,7 @@ class WavAugmenter:
                             # noise[(t - s0) mod len]
                             L = max(int(nl[ni]), 1) if nl is not None else 1
                             starts[r, i] = (L - s0 % L) % L
-                        n_src[r] = 1 + min(len(plan.noises), S - 1)
+                        n_src[r] = 1 + len(plan.noises)
                 elif self.rir_probs is not None:
                     src[rows, 0] = self.rng.choice(
                         len(self.rirs[1]), rows.size,

@@ -258,8 +258,11 @@ def flash_aam_loss(emb: jnp.ndarray, weight: jnp.ndarray, labels: jnp.ndarray,
 
 def _acc_from(zy, mx):
     """Margined train-time top-1 from the kernel's online state: the target
-    is the argmax iff its (margined) logit equals the running max."""
-    return jnp.mean((zy >= mx - 1e-6).astype(jnp.float32))
+    is the argmax iff its (margined) logit equals the running max.  Exact
+    comparison — zy itself is folded into the running max, so zy == mx holds
+    bit-for-bit whenever the target wins; an epsilon would overcount
+    non-target classes that beat the target by less than it."""
+    return jnp.mean((zy >= mx).astype(jnp.float32))
 
 
 def _flash_fwd_core(emb, weight, labels, m, s, tile, interpret):

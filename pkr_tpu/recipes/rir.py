@@ -257,7 +257,13 @@ class ReverbPlanner:
         self.rng = np.random.default_rng(seed)
         if len(rirs) > max_rirs:
             p = np.asarray([r.probability for r in rirs])
-            keep = self.rng.choice(len(rirs), size=max_rirs, replace=False,
+            # smooth_probabilities can legitimately assign exactly-0 weight
+            # (user-specified probs summing >= 1 zero out the unspecified
+            # entries, matching the reference's warning case); choice() with
+            # replace=False raises when fewer than `size` entries have
+            # nonzero probability, so cap the subsample at that count.
+            n_pick = min(max_rirs, int(np.count_nonzero(p)))
+            keep = self.rng.choice(len(rirs), size=n_pick, replace=False,
                                    p=p / p.sum())
             rirs = [rirs[i] for i in sorted(keep)]
         self.rirs = smooth_probabilities(rirs)
@@ -277,6 +283,7 @@ class ReverbPlanner:
         self.iso_prob = isotropic_noise_addition_probability
         self.max_noises_per_minute = max_noises_per_minute
         self.rate = rate
+        self.cap_hits = 0  # utterances whose noise draw hit max_slots
         # noise pool index: point-source noises first, then iso noises in
         # room order (one flat pool for the device side)
         self._noise_entries: List[NoiseEntry] = list(self.point_noises)
@@ -302,10 +309,19 @@ class ReverbPlanner:
         return self._noise_entries
 
     def draw(self, n_samples: int,
-             noise_lens: Optional[np.ndarray] = None) -> Optional[ReverbPlan]:
+             noise_lens: Optional[np.ndarray] = None,
+             max_slots: Optional[int] = None) -> Optional[ReverbPlan]:
         """One utterance's plan; None = leave the utterance dry (the
         speech_rvb_probability miss with no noises drawn).  noise_lens: true
-        pool lengths (samples), needed to size foreground windows."""
+        pool lengths (samples), needed to size foreground windows.
+
+        max_slots caps the number of noises drawn (the device-side mix has a
+        fixed slot count).  The cap is enforced HERE, before the cyclic
+        fg/bg SNR iterators advance, so a bound cap can't drift the SNR
+        cycle for later utterances; cap_hits counts utterances where it
+        bound (the composed mix then has fewer noises than
+        reverberate_data_dir.py:216-226 would apply — observable, not
+        silent)."""
         # the room/RIR joint draw: direct draw by global probability is
         # identical to room-then-RIR (see module docstring)
         ridx = int(self.rng.choice(len(self.rirs),
@@ -325,6 +341,9 @@ class ReverbPlanner:
         if (self.point_noises and max_noises >= 1
                 and self.rng.random() < self.point_prob):
             for _ in range(int(self.rng.integers(1, max_noises + 1))):
+                if max_slots is not None and len(noises) >= max_slots:
+                    self.cap_hits += 1
+                    break
                 pick = int(self.rng.choice(
                     len(self.point_noises),
                     p=self.point_probs / self.point_probs.sum()))

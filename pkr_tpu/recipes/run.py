@@ -27,6 +27,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -360,11 +361,19 @@ def select_decode_subset(scp: str, n: int, seed: int, out_path: str) -> str:
     multi-million-utterance forward pass."""
     lines = open(scp).read().splitlines()
     if n <= 0 or n >= len(lines):
-        return scp
-    rng = np.random.default_rng(seed)
-    keep = sorted(rng.choice(len(lines), n, replace=False))
-    with open(out_path, "w") as f:
+        # No-op subset: still (re)write out_path with the FULL list so the
+        # file's content always reflects THIS run's decision.  Multi-host
+        # peers adopt out_path unconditionally after the barrier; leaving a
+        # stale subset file from a previous run on disk here would make them
+        # silently extract a different utterance list than rank 0.
+        keep = range(len(lines))
+    else:
+        rng = np.random.default_rng(seed)
+        keep = sorted(rng.choice(len(lines), n, replace=False))
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
         f.write("\n".join(lines[i] for i in keep) + "\n")
+    os.replace(tmp, out_path)
     return out_path
 
 
@@ -394,16 +403,28 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str,
         sub_path = os.path.join(exp_dir, f"decode_{out_name}.scp")
         # multi-host: only rank 0 writes the subset scp (concurrent 'w'
         # opens on shared storage could hand a peer a torn file), everyone
-        # reads it after the barrier — same selection on every host since
-        # rank 0's seeded choice is what lands on disk
+        # reads it after the barrier.  select_decode_subset ALWAYS writes
+        # sub_path (full list on a no-op subset), so the file's existence
+        # and content deterministically reflect this run — a peer that
+        # can't see it after the barrier fails loudly instead of silently
+        # sharding a different utterance list than rank 0.
         if jax.process_index() == 0:
             scp = select_decode_subset(scp, subset, cfg.train.seed, sub_path)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices(f"decode-subset-{out_name}")
-            if os.path.exists(sub_path):
-                scp = sub_path
+            if jax.process_index() != 0:
+                deadline = time.time() + 60.0
+                while not os.path.exists(sub_path) and time.time() < deadline:
+                    time.sleep(0.5)  # shared-storage visibility lag
+                if not os.path.exists(sub_path):
+                    raise RuntimeError(
+                        f"rank {jax.process_index()}: subset scp {sub_path} "
+                        "not visible 60s after the decode-subset barrier — "
+                        "refusing to fall back to the full scp (hosts would "
+                        "shard different utterance lists)")
+            scp = sub_path
     src = FeatureSource(scp)
     pi, pc = jax.process_index(), jax.process_count()
     # multi-host: each host extracts ITS utterance shard on its LOCAL

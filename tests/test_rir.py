@@ -227,7 +227,7 @@ def test_device_composed_noise_exact_snr(tmp_path):
     npool[0, :n // 2] = noise
 
     class OnePlan:
-        def draw(self, n_samples, noise_lens=None):
+        def draw(self, n_samples, noise_lens=None, max_slots=None):
             from pkr_tpu.recipes.rir import ReverbPlan
 
             return ReverbPlan(rir=0, noises=[(0, 7.0, 0, -1)])
