@@ -50,8 +50,9 @@ def _normalize(x, eps=1e-12):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref, mx_ref,
-                m_scr, s_scr, zy_scr, *, n_classes, tile, m, s):
+def _fwd_kernel(labels_ref, zt_ref, e_ref, w_ref, lse_ref, zy_ref, mx_ref,
+                cnt_ref, m_scr, s_scr, zy_scr, cnt_scr, *,
+                n_classes, tile, m, s):
     j = pl.program_id(0)
     nj = pl.num_programs(0)
 
@@ -60,6 +61,7 @@ def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref, mx_ref,
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         s_scr[:] = jnp.zeros_like(s_scr)
         zy_scr[:] = jnp.zeros_like(zy_scr)
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     w = w_ref[:].astype(jnp.float32)  # (tile, D)
     wnorm = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=1, keepdims=True), 1e-24))
@@ -89,6 +91,16 @@ def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref, mx_ref,
     m_scr[:] = m_new
     zy_scr[:] = zy_scr[:] + jnp.sum(jnp.where(is_tgt, z, 0.0), axis=1,
                                     keepdims=True)
+    # online rank of the target: count classes whose margined logit strictly
+    # beats the (precomputed) target logit zt.  rank < k ⇔ the target is in
+    # the dense top-k — one VPU compare per element buys top-k for EVERY k
+    # (the train loop reports k=5, accuracy.py:4-17) without a k-slot merge.
+    # The target column itself is excluded (~is_tgt): zt comes from a
+    # gather+row-dot outside the kernel and may differ from the MXU z in the
+    # last ulp, so self-comparison would be noise.
+    beats = valid & jnp.logical_not(is_tgt) & (z > zt_ref[:])
+    cnt_scr[:] = cnt_scr[:] + jnp.sum(beats.astype(jnp.float32), axis=1,
+                                      keepdims=True)
 
     @pl.when(j == nj - 1)
     def _finish():
@@ -98,6 +110,7 @@ def _fwd_kernel(labels_ref, e_ref, w_ref, lse_ref, zy_ref, mx_ref,
         # argmax, i.e. the dense path's train-time top-1 — the on-line
         # quality signal the flash mode otherwise loses (VERDICT r2 weak 4)
         mx_ref[:] = m_scr[:] * jnp.ones_like(mx_ref)
+        cnt_ref[:] = cnt_scr[:] * jnp.ones_like(cnt_ref)
 
 
 def _adapt_tile(tile, B, C):
@@ -108,20 +121,40 @@ def _adapt_tile(tile, B, C):
     return cap
 
 
-def _fwd_pallas(e_hat, weight, labels, m, s, tile, interpret):
+def _margined_target_z(e_hat, weight, labels, m, s):
+    """The target class's margined, scaled logit via a (B, D) gather +
+    row-dot — the reference value the kernel's online rank count compares
+    against.  Same normalization/margin formulas as the kernel."""
+    w_y = jnp.take(weight, labels, axis=0).astype(jnp.float32)  # (B, D)
+    w_hat = w_y / jnp.sqrt(jnp.maximum(jnp.sum(w_y * w_y, axis=1,
+                                               keepdims=True), 1e-24))
+    cos = jnp.sum(e_hat * w_hat, axis=1)
+    cos_m, sin_m, th, mm = _margin_consts(m)
+    sin = jnp.sqrt(jnp.clip(1.0 - cos * cos, 1e-12, 1.0))
+    phi = cos * cos_m - sin * sin_m
+    phi = jnp.where(cos - th > 0, phi, cos - mm)
+    return phi * s
+
+
+def _fwd_pallas(e_hat, weight, labels, m, s, tile, interpret, zt=None):
     B, D = e_hat.shape
     C = weight.shape[0]
+    if zt is None:
+        safe = jnp.clip(labels.astype(jnp.int32), 0, C - 1)
+        zt = _margined_target_z(e_hat, weight, safe, m, s)
     tile = _adapt_tile(tile, B, C)
     c_pad = -(-C // tile) * tile
     if c_pad != C:
         weight = jnp.pad(weight, ((0, c_pad - C), (0, 0)), constant_values=1.0)
     grid = (c_pad // tile,)
     labels2 = labels.astype(jnp.int32)[:, None]
+    zt2 = zt.astype(jnp.float32)[:, None]
     kernel = functools.partial(_fwd_kernel, n_classes=C, tile=tile, m=m, s=s)
-    lse, zy, mx = pl.pallas_call(
+    lse, zy, mx, cnt = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -130,8 +163,10 @@ def _fwd_pallas(e_hat, weight, labels, m, s, tile, interpret):
             pl.BlockSpec((B, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
@@ -140,10 +175,11 @@ def _fwd_pallas(e_hat, weight, labels, m, s, tile, interpret):
             pltpu.VMEM((B, 1), jnp.float32),
             pltpu.VMEM((B, 1), jnp.float32),
             pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(labels2, e_hat, weight)
-    return lse[:, 0], zy[:, 0], mx[:, 0]
+    )(labels2, zt2, e_hat, weight)
+    return lse[:, 0], zy[:, 0], mx[:, 0], cnt[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -251,8 +287,8 @@ def flash_aam_loss(emb: jnp.ndarray, weight: jnp.ndarray, labels: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
     """Mean ArcFace cross-entropy over the batch without materializing
     (B, n_classes) logits.  emb (B, D) f32, weight (n_classes, D) f32."""
-    (loss, _acc), _ = _flash_fwd_core(emb, weight, labels, m, s, tile,
-                                      interpret)
+    (loss, _acc, _acc5), _ = _flash_fwd_core(emb, weight, labels, m, s, tile,
+                                             interpret)
     return loss
 
 
@@ -265,12 +301,21 @@ def _acc_from(zy, mx):
     return jnp.mean((zy >= mx).astype(jnp.float32))
 
 
+def _acc5_from(cnt):
+    """Top-5 from the kernel's online target rank: the target sits in the
+    dense top-k iff fewer than k classes strictly beat it (exact-tie classes
+    rank behind the target here; jax.lax.top_k breaks such ties by index —
+    indistinguishable on continuous logits)."""
+    return jnp.mean((cnt < 5.0).astype(jnp.float32))
+
+
 def _flash_fwd_core(emb, weight, labels, m, s, tile, interpret):
     e_hat, e_norm = _normalize(emb.astype(jnp.float32))
-    lse, zy, mx = _fwd_pallas(e_hat, weight.astype(jnp.float32), labels, m, s,
-                              tile, interpret)
+    lse, zy, mx, cnt = _fwd_pallas(e_hat, weight.astype(jnp.float32), labels,
+                                   m, s, tile, interpret)
     loss = jnp.mean(lse - zy)
-    return (loss, _acc_from(zy, mx)), (e_hat, e_norm, weight, labels, lse)
+    return ((loss, _acc_from(zy, mx), _acc5_from(cnt)),
+            (e_hat, e_norm, weight, labels, lse))
 
 
 def _flash_bwd_core(m, s, tile, interpret, residuals, gloss):
@@ -286,8 +331,8 @@ def _flash_bwd_core(m, s, tile, interpret, residuals, gloss):
 
 
 def _flash_loss_fwd(emb, weight, labels, m, s, tile, interpret):
-    (loss, _acc), res = _flash_fwd_core(emb, weight, labels, m, s, tile,
-                                        interpret)
+    (loss, _acc, _acc5), res = _flash_fwd_core(emb, weight, labels, m, s,
+                                               tile, interpret)
     return loss, res
 
 
@@ -299,16 +344,17 @@ def flash_aam_loss_acc(emb: jnp.ndarray, weight: jnp.ndarray,
                        labels: jnp.ndarray, m: float = 0.2, s: float = 30.0,
                        tile: int = DEFAULT_TILE,
                        interpret: bool = False):
-    """(loss, train-top1) — the loss as flash_aam_loss plus the free
-    margined-argmax accuracy from the kernel's online max (no extra
-    compute; the acc output carries no gradient)."""
-    (loss, acc), _ = _flash_fwd_core(emb, weight, labels, m, s, tile,
-                                     interpret)
-    return loss, acc
+    """(loss, train-top1, train-top5) — the loss as flash_aam_loss plus the
+    free margined-argmax top-1 from the kernel's online max and top-5 from
+    its online target-rank count (no extra passes; the metric outputs carry
+    no gradient)."""
+    (loss, acc, acc5), _ = _flash_fwd_core(emb, weight, labels, m, s, tile,
+                                           interpret)
+    return loss, acc, acc5
 
 
 def _flash_acc_bwd(m, s, tile, interpret, residuals, g):
-    gloss, _gacc = g  # the accuracy output is a metric, not a loss term
+    gloss, _gacc, _gacc5 = g  # the metric outputs are not loss terms
     return _flash_bwd_core(m, s, tile, interpret, residuals, gloss)
 
 
@@ -330,9 +376,11 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
                            weight_sharded: bool = None,
                            with_acc: bool = False):
     """Mesh-composed flash loss: loss_fn(emb, weight, labels) -> scalar,
-    or (loss, train-top1) when with_acc=True (the margined-argmax metric
-    from the kernels' online max — in the class-sharded regime the per-shard
-    maxima pmax-merge over 'model', so the metric equals the dense top-1).
+    or (loss, train-top1, train-top5) when with_acc=True (top-1 is the
+    margined-argmax metric from the kernels' online max; top-5 from the
+    online target-rank count — in the class-sharded regime the per-shard
+    maxima pmax-merge and the rank counts psum over 'model', so both
+    metrics equal the dense top-1/top-5).
 
     A pallas_call is a single-device program — under pjit with a sharded
     batch XLA cannot partition the custom call (it would replicate or fail),
@@ -381,26 +429,44 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data", None), w_spec, P("data")),
-        out_specs=((P(), P()), (P("data", None), P("data", None), P("data"))))
+        out_specs=((P(), P(), P()),
+                   (P("data", None), P("data", None), P("data"))))
     def _sm_fwd(e, w, y):
         e_hat, e_norm = _normalize(e.astype(jnp.float32))
-        lse, zy, mx_z = _fwd_pallas(e_hat, w.astype(jnp.float32),
-                                    _local_labels(y), m, s, tile, interpret)
+        y_loc = _local_labels(y)
+        wf = w.astype(jnp.float32)
+        if weight_sharded:
+            # the target's margined logit (the kernel's rank-count pivot)
+            # lives on exactly one class shard: gather it there, psum the
+            # masked value so every shard counts against the SAME pivot
+            in_range = (y_loc >= 0) & (y_loc < c_local)
+            safe = jnp.clip(y_loc, 0, c_local - 1)
+            zt = jnp.where(in_range,
+                           _margined_target_z(e_hat, wf, safe, m, s), 0.0)
+            zt = jax.lax.psum(zt, "model")
+        else:
+            zt = _margined_target_z(e_hat, wf, y_loc, m, s)
+        lse, zy, mx_z, cnt = _fwd_pallas(e_hat, wf, y_loc, m, s, tile,
+                                         interpret, zt=zt)
         if weight_sharded:
             # merge the per-shard online softmax states: lse_i = max_i+log s_i
             # → global lse = logsumexp_i(lse_i); the target term lives in
-            # exactly one shard (zy elsewhere is 0), and the running maxima
-            # pmax-merge for the top-1 metric.
+            # exactly one shard (zy elsewhere is 0), the running maxima
+            # pmax-merge for the top-1 metric, and the per-shard rank counts
+            # sum (each shard counted its own classes against the global zt).
             mx = jax.lax.pmax(lse, "model")
             lse = mx + jnp.log(jax.lax.psum(jnp.exp(lse - mx), "model"))
             zy = jax.lax.psum(zy, "model")
             mx_z = jax.lax.pmax(mx_z, "model")
+            cnt = jax.lax.psum(cnt, "model")
         loss = jax.lax.pmean(jnp.mean(lse - zy), "data")
         acc = jax.lax.pmean(_acc_from(zy, mx_z), "data")
+        acc5 = jax.lax.pmean(_acc5_from(cnt), "data")
         if not weight_sharded and n_model > 1:
             loss = jax.lax.pmean(loss, "model")  # identical per shard
             acc = jax.lax.pmean(acc, "model")
-        return (loss, acc), (e_hat, e_norm, lse)
+            acc5 = jax.lax.pmean(acc5, "model")
+        return (loss, acc, acc5), (e_hat, e_norm, lse)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -432,11 +498,12 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
             return _fwd_acc_rule(emb, weight, labels)[0]
 
         def _fwd_acc_rule(emb, weight, labels):
-            (loss, acc), (e_hat, e_norm, lse) = _sm_fwd(emb, weight, labels)
-            return (loss, acc), (e_hat, e_norm, weight, labels, lse)
+            (loss, acc, acc5), (e_hat, e_norm, lse) = _sm_fwd(emb, weight,
+                                                              labels)
+            return (loss, acc, acc5), (e_hat, e_norm, weight, labels, lse)
 
         def _bwd_acc_rule(res, g):
-            gloss, _gacc = g  # the metric output carries no gradient
+            gloss, _gacc, _gacc5 = g  # the metric outputs carry no gradient
             return _bwd_core(res, gloss)
 
         loss_acc_fn.defvjp(_fwd_acc_rule, _bwd_acc_rule)
@@ -447,7 +514,8 @@ def make_flash_aam_sharded(mesh, n_classes: int, m: float = 0.2,
         return _fwd_rule(emb, weight, labels)[0]
 
     def _fwd_rule(emb, weight, labels):
-        (loss, _acc), (e_hat, e_norm, lse) = _sm_fwd(emb, weight, labels)
+        (loss, _acc, _acc5), (e_hat, e_norm, lse) = _sm_fwd(emb, weight,
+                                                            labels)
         return loss, (e_hat, e_norm, weight, labels, lse)
 
     loss_fn.defvjp(_fwd_rule, _bwd_core)

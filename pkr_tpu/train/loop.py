@@ -48,8 +48,9 @@ def make_train_step(model, tx=None,
     Pallas flash classifier loss (ops/flash_aam.py): the (B, n_spk) logits
     never materialize — the scaling path for very large speaker counts.
     Train-time top-1 comes for free from the kernel's online max (margined
-    argmax == the dense path's top-1); top-5 needs ranks the streaming
-    kernel doesn't keep and is reported as -1.
+    argmax == the dense path's top-1) and top-5 from its online target-rank
+    count, so flash mode reports the same metrics as the dense path
+    (accuracy.py:4-17).
 
     mesh (with flash_aam) composes the Pallas loss with the device mesh via
     shard_map — class weight sharded over 'model' when spk_num divides that
@@ -85,20 +86,20 @@ def make_train_step(model, tx=None,
                     feats, None, True, mutable=["batch_stats"],
                     method=SpeakerModel.head_input)
                 if flash_loss_fn is not None:  # mesh-composed shard_map path
-                    loss, acc = flash_loss_fn(emb, params["aam_weight"],
-                                              labels)
+                    loss, acc, acc5 = flash_loss_fn(emb, params["aam_weight"],
+                                                    labels)
                 else:
-                    loss, acc = flash_aam_loss_acc(
+                    loss, acc, acc5 = flash_aam_loss_acc(
                         emb, params["aam_weight"], labels,
                         model.m, model.s, 2048, flash_interpret)
-                return loss, ((None, acc), updates["batch_stats"])
+                return loss, ((None, (acc, acc5)), updates["batch_stats"])
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 feats, labels, train=True, mutable=["batch_stats"])
             loss = cross_entropy(logits, labels)
             return loss, ((logits, None), updates["batch_stats"])
 
-        (loss, ((logits, flash_acc), new_bs)), grads = jax.value_and_grad(
+        (loss, ((logits, flash_accs), new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # NaN guard (failure detection the reference lacked, SURVEY §5): a
         # non-finite loss skips the whole update — params, momentum and the
@@ -116,10 +117,10 @@ def make_train_step(model, tx=None,
             state.params, updates)
         bsz = labels.shape[0]
         if logits is None:  # flash path: logits never exist
-            # top-1 from the kernel's online max; top-5 has no streaming
-            # equivalent and stays -1
-            metrics = {"loss": loss, "acc1": flash_acc,
-                       "acc5": jnp.asarray(-1.0, jnp.float32)}
+            # top-1 from the kernel's online max; top-5 from its online
+            # target-rank count
+            metrics = {"loss": loss, "acc1": flash_accs[0],
+                       "acc5": flash_accs[1]}
         else:
             metrics = {
                 "loss": loss,
@@ -139,8 +140,9 @@ def make_eval_step(model, flash_aam: bool = False,
     too: the dense head would materialize (B, n_spk) logits and several
     same-sized temporaries — at the 1M-speaker scale the flash TRAIN path
     exists for, the first cv pass would OOM the chip.  cv top-1 comes from
-    the kernel's online max (dense-equivalent margined argmax) and drives
-    best-tracking exactly like the dense path; top-5 stays -1."""
+    the kernel's online max (dense-equivalent margined argmax), top-5 from
+    its online target-rank count; both drive best-tracking exactly like the
+    dense path."""
     if flash_aam:
         assert model.loss in ("AAM", "AAM-v1"), (
             f"flash_aam needs an AAM-family head, got {model.loss!r}")
@@ -165,14 +167,13 @@ def make_eval_step(model, flash_aam: bool = False,
                 {"params": state.params, "batch_stats": state.batch_stats},
                 feats, None, False, method=SpeakerModel.head_input)
             if flash_loss_fn is not None:
-                loss, acc = flash_loss_fn(emb, state.params["aam_weight"],
-                                          labels)
+                loss, acc, acc5 = flash_loss_fn(
+                    emb, state.params["aam_weight"], labels)
             else:
-                loss, acc = flash_aam_loss_acc(
+                loss, acc, acc5 = flash_aam_loss_acc(
                     emb, state.params["aam_weight"], labels,
                     model.m, model.s, 2048, flash_interpret)
-            return {"loss": loss * bsz, "n1": acc * bsz,
-                    "n5": jnp.asarray(-float(bsz), jnp.float32),
+            return {"loss": loss * bsz, "n1": acc * bsz, "n5": acc5 * bsz,
                     "n": jnp.asarray(bsz, jnp.float32)}
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -127,7 +127,8 @@ def test_flash_train_step_matches_dense():
     assert abs(float(m_dense["loss"]) - float(m_flash["loss"])) < 1e-3
     # the kernel's online-max top-1 IS the dense margined argmax (r3)
     assert float(m_flash["acc1"]) == float(m_dense["acc1"])
-    assert float(m_flash["acc5"]) == -1.0  # no streaming top-5
+    # the kernel's online target-rank count IS the dense top-5 (r4)
+    assert float(m_flash["acc5"]) == float(m_dense["acc5"])
     np.testing.assert_allclose(
         np.asarray(s_flash.params["aam_weight"]),
         np.asarray(s_dense.params["aam_weight"]), rtol=1e-3, atol=1e-5)
@@ -316,7 +317,7 @@ def test_flash_validation_avoids_dense_head():
         state, jnp.asarray(feats), jnp.asarray(labels))
     assert abs(float(dense["loss"]) - float(flash["loss"])) < 1e-3
     assert float(flash["n1"]) == float(dense["n1"])  # dense-equivalent top-1
-    assert float(flash["n5"]) == -8.0  # no streaming top-5
+    assert float(flash["n5"]) == float(dense["n5"])  # dense-equivalent top-5
 
     class L:
         def epoch(self, e):
@@ -348,9 +349,15 @@ def test_flash_acc_matches_dense_argmax():
     logits = aam_logits(emb, weight, labels, 0.2, 30.0)
     dense_acc = float(jnp.mean(
         (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)))
-    loss, acc = flash_aam_loss_acc(emb, weight, labels, 0.2, 30.0, 128, True)
+    loss, acc, acc5 = flash_aam_loss_acc(emb, weight, labels, 0.2, 30.0, 128,
+                                          True)
     assert 0.3 < dense_acc < 1.0  # non-degenerate by construction
     assert float(acc) == dense_acc
+    from pkr_tpu.train.loop import topk_correct
+
+    dense_acc5 = float(topk_correct(logits, labels, 5)) / B
+    assert 0.3 < dense_acc5 < 1.0
+    assert float(acc5) == dense_acc5
     # grads still flow (the metric must not break the vjp)
     g = jax.grad(lambda e: flash_aam_loss_acc(
         e, weight, labels, 0.2, 30.0, 128, True)[0])(emb)
@@ -380,8 +387,13 @@ def test_flash_class_sharded_acc_merges_shards():
         (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)))
     fn = make_flash_aam_sharded(mesh, C, 0.2, 30.0, tile=128, interpret=True,
                                 weight_sharded=True, with_acc=True)
-    loss, acc = jax.jit(fn)(emb, weight, labels)
+    loss, acc, acc5 = jax.jit(fn)(emb, weight, labels)
     assert float(acc) == dense_acc
+    from pkr_tpu.train.loop import topk_correct
+
+    # sharded rank counts psum over 'model': top-5 equals dense even when
+    # beating classes live on other shards than the label's
+    assert float(acc5) == float(topk_correct(logits, labels, 5)) / B
 
 
 def test_flash_aam_v1_matches_dense():
