@@ -47,12 +47,15 @@ class LdaTransform:
 
 
 def compute_lda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
-                dim: int = 200, total_covariance_factor: float = 0.1
-                ) -> LdaTransform:
-    """Fisher LDA with within-class whitening (ivector-compute-lda behaviour:
-    the output basis whitens the within-class covariance — smoothed toward
-    the total covariance by `total_covariance_factor` — and sorts directions
-    by between-class spread)."""
+                dim: int = 200, total_covariance_factor: float = 0.1,
+                covariance_floor: float = 1.0e-6) -> LdaTransform:
+    """Fisher LDA with within-class whitening — ivector-compute-lda's exact
+    construction (ivector-compute-lda.cc, oracle-tested against a literal
+    transcription in tests/kaldi_plda_oracle.py): whiten
+    f·Σ_total + (1−f)·Σ_within via eig with eigenvalues floored at
+    `covariance_floor`·λ_max, then rotate to diagonalize the between-class
+    covariance, keeping the top `dim` directions.  Defaults match the
+    binary's (run.sh:332 passes total-covariance-factor 0.0)."""
     keys = list(vecs)
     X = np.stack([vecs[k] for k in keys]).astype(np.float64)
     spk = [utt2spk[k] for k in keys]
@@ -65,28 +68,27 @@ def compute_lda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
 
     d = X.shape[1]
     Sb = np.zeros((d, d))
-    Sw = np.zeros((d, d))
     for s, idx in by_spk.items():
-        xs = Xc[idx]
-        mu = xs.mean(axis=0)
+        mu = Xc[idx].mean(axis=0)
         Sb += len(idx) * np.outer(mu, mu)
-        r = xs - mu
-        Sw += r.T @ r
     n = len(keys)
-    Sb /= n
-    Sw /= n
-    St = Xc.T @ Xc / n
-    W = ((1.0 - total_covariance_factor) * Sw
-         + total_covariance_factor * St)
+    St = Xc.T @ Xc / n  # total covariance
+    Sb /= n  # between-class (n-weighted speaker means)
+    Sw = St - Sb  # within = total − between (CovarianceStats convention)
+    W = (total_covariance_factor * St
+         + (1.0 - total_covariance_factor) * Sw)
 
-    # whiten W, then rotate to diagonalize B in the whitened space
+    # whiten W: eig, floor at covariance_floor·λ_max, T = diag(λ^-½)·Uᵀ
     evals, evecs = np.linalg.eigh(W)
-    evals = np.maximum(evals, 1e-10)
-    Wm12 = evecs @ np.diag(evals ** -0.5) @ evecs.T
-    Bw = Wm12 @ Sb @ Wm12.T
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    evals = np.maximum(evals, covariance_floor * evals[0]) ** -0.5
+    T = evals[:, None] * evecs.T
+    # rotate to diagonalize the whitened between-class covariance
+    Bw = T @ Sb @ T.T
     bvals, bvecs = np.linalg.eigh(Bw)
-    order = np.argsort(bvals)[::-1][:dim]
-    proj = bvecs[:, order].T @ Wm12  # (dim, d)
+    order = np.argsort(bvals)[::-1]
+    proj = bvecs[:, order].T[:dim] @ T  # (dim, d)
     return LdaTransform(matrix=proj, mean=mean)
 
 
@@ -121,30 +123,39 @@ class PldaModel:
 
 def train_plda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
                n_iters: int = 10) -> PldaModel:
-    """EM for the two-covariance model (ivector-compute-plda).
+    """EM for the two-covariance model — ivector-compute-plda's exact
+    estimator (plda.cc PldaEstimator; oracle-tested against a literal
+    transcription in tests/kaldi_plda_oracle.py, covariances + ψ + scores).
+
+    Kaldi conventions matched: both covariances initialize to identity
+    (InitParameters), the global mean is the UNWEIGHTED AVERAGE OF CLASS
+    MEANS (stats.sum_/class_weight_ — not the utterance mean; the two
+    differ whenever speakers have unequal utterance counts), n_iters
+    defaults to the binary's --num-em-iters=10, and the diagonalizing
+    transform comes from the Cholesky factor of Φw (GetOutput).
 
     E-step: posterior of each speaker's latent mean given its utterances;
     M-step: re-estimate between/within covariances from the expected
-    sufficient statistics.
+    sufficient statistics (the vectorized update below accumulates the
+    same per-class terms as GetStatsFromIntraClass + GetStatsFromClassMeans:
+    within ← [Σ_cls scatter + n·((m−w)(m−w)ᵀ + Σ_post)]/N, between ←
+    [Σ_cls (wwᵀ + Σ_post)]/K).
     """
     keys = list(vecs)
     X = np.stack([vecs[k] for k in keys]).astype(np.float64)
     spk = [utt2spk[k] for k in keys]
-    mean = X.mean(axis=0)
-    Xc = X - mean
     d = X.shape[1]
 
     by_spk: Dict[str, np.ndarray] = {}
     for i, s in enumerate(spk):
         by_spk.setdefault(s, []).append(i)
     groups = [np.asarray(idx) for idx in by_spk.values()]
+    # class-weighted global mean: the average of speaker means
+    mean = np.stack([X[g].mean(axis=0) for g in groups]).mean(axis=0)
+    Xc = X - mean
 
-    # init: between = covar of speaker means, within = residual covar
-    mus = np.stack([Xc[g].mean(axis=0) for g in groups])
-    phi_b = mus.T @ mus / len(groups) + 1e-6 * np.eye(d)
-    resid = np.concatenate([Xc[g] - Xc[g].mean(axis=0) for g in groups])
-    phi_w = resid.T @ resid / max(len(resid), 1) + 1e-6 * np.eye(d)
-
+    phi_w = np.eye(d)
+    phi_b = np.eye(d)
     for _ in range(n_iters):
         b_stats = np.zeros((d, d))
         w_stats = np.zeros((d, d))
@@ -166,17 +177,15 @@ def train_plda(vecs: Dict[str, np.ndarray], utt2spk: Dict[str, str],
             n_total += n
         phi_b = b_stats / len(groups)
         phi_w = w_stats / n_total
-        phi_b += 1e-10 * np.eye(d)
-        phi_w += 1e-10 * np.eye(d)
 
-    # simultaneous diagonalization: T Φw Tᵀ = I, T Φb Tᵀ = diag(ψ)
-    evals, evecs = np.linalg.eigh(phi_w)
-    evals = np.maximum(evals, 1e-10)
-    wm12 = evecs @ np.diag(evals ** -0.5) @ evecs.T
-    Bw = wm12 @ phi_b @ wm12.T
+    # simultaneous diagonalization, GetOutput-style: transform1 = chol(Φw)⁻¹
+    # whitens Φw; the eig basis of the whitened Φb then diagonalizes both:
+    # T Φw Tᵀ = I, T Φb Tᵀ = diag(ψ)
+    transform1 = np.linalg.inv(np.linalg.cholesky(phi_w))
+    Bw = transform1 @ phi_b @ transform1.T
     bvals, bvecs = np.linalg.eigh(Bw)
     order = np.argsort(bvals)[::-1]
-    T = bvecs[:, order].T @ wm12
+    T = bvecs[:, order].T @ transform1
     psi = np.maximum(bvals[order], 0.0)
     return PldaModel(mean=mean, transform=T, psi=psi)
 
