@@ -239,10 +239,18 @@ class WavAugmenter:
         kind_idx = {k: i for i, k in enumerate(add_names)}
         has_rvb_noise = "rvb_noise" in self.pools
 
+        # trace-time gate: the per-noise room convolution only enters the
+        # compiled program when the planner draws noise RIRs — the dry
+        # regimes (MUSAN tables, room_convolve_noises=False) pay nothing
+        noise_conv = (has_rvb_noise and self.reverb_planner is not None
+                      and getattr(self.reverb_planner,
+                                  "room_convolve_noises", False))
+
         def batch_fn(tiled, rvb_tiled, rmats, rlens, sigs, lengths, codes,
-                     srcs, startss, snrss, sig_startss, durss, n_srcs):
+                     srcs, startss, snrss, sig_startss, durss, nrirss,
+                     n_srcs):
             def row_fn(sig, length, code, src, starts, snrs, sig_starts,
-                       durs, n_src):
+                       durs, nrirs, n_src):
                 ar = jnp.arange(n)
                 mask = (ar < length).astype(sig.dtype)
                 e_sig = jnp.maximum(_energy(sig, length), 1e-10)
@@ -285,6 +293,18 @@ class WavAugmenter:
                         on = jnp.where(i < n_src, 1.0, 0.0)
                         t = jax.lax.dynamic_slice(
                             rvb_tiled, (src[i], starts[i]), (1, n))[0]
+                        if noise_conv:
+                            # AddPointSourceNoise (:215-226): the point-
+                            # source noise is wav-reverberated with an RIR
+                            # from the speech's room before mixing; its
+                            # power normalization cancels under the power-
+                            # ratio SNR scale below, so only the temporal/
+                            # spectral smearing survives — as in the
+                            # reference.  nrir<0 (iso noises, dry regime)
+                            # keeps the raw row.
+                            k = jnp.maximum(nrirs[i], 0)
+                            wet_t = reverberate(t, length, rmats[k], rlens[k])
+                            t = jnp.where(nrirs[i] >= 0, wet_t, t)
                         d = jnp.where(durs[i] < 0, length, durs[i])
                         w = ((ar >= sig_starts[i])
                              & (ar < sig_starts[i] + d)
@@ -312,7 +332,8 @@ class WavAugmenter:
                 return jax.lax.switch(code, branches)
 
             return jax.vmap(row_fn)(sigs, lengths, codes, srcs, startss,
-                                    snrss, sig_startss, durss, n_srcs)
+                                    snrss, sig_startss, durss, nrirss,
+                                    n_srcs)
 
         return jax.jit(batch_fn)
 
@@ -326,6 +347,7 @@ class WavAugmenter:
         snrs = np.zeros((B, S), np.float32)
         sig_starts = np.zeros((B, S), np.int32)
         durs = np.full((B, S), -1, np.int32)
+        nrirs = np.full((B, S), -1, np.int32)  # noise-RIR index; -1 = dry
         n_src = np.ones(B, np.int32)
         for ci, name in enumerate(names):
             rows = np.where(codes == ci + 1)[0]
@@ -349,12 +371,13 @@ class WavAugmenter:
                         src[r, 0] = (plan.rir if plan.rir >= 0
                                      else len(self.rirs[1]) - 1)
                         assert len(plan.noises) <= S - 1
-                        for i, (ni, snr, s0, d) in enumerate(
+                        for i, (ni, snr, s0, d, nrir) in enumerate(
                                 plan.noises, start=1):
                             src[r, i] = ni
                             snrs[r, i] = snr
                             sig_starts[r, i] = s0
                             durs[r, i] = d
+                            nrirs[r, i] = nrir
                             # align tiled row so tiled[start+t] =
                             # noise[(t - s0) mod len]
                             L = max(int(nl[ni]), 1) if nl is not None else 1
@@ -378,7 +401,7 @@ class WavAugmenter:
                 0, np.maximum(lens[k], 1)).astype(np.int32)
             snrs[rows, :cols] = self.rng.choice(self.SNR[name],
                                                 (rows.size, cols))
-        return src, starts, snrs, sig_starts, durs, n_src
+        return src, starts, snrs, sig_starts, durs, nrirs, n_src
 
     def __call__(self, wavs: np.ndarray, lengths: np.ndarray,
                  kinds=None, device_out: bool = False) -> np.ndarray:
@@ -402,7 +425,7 @@ class WavAugmenter:
             codes = np.asarray([code_of.get(k, 0) for k in kinds], np.int32)
         if not codes.any():
             return jnp.asarray(wavs) if device_out else np.asarray(wavs)
-        src, starts, snrs, sig_starts, durs, n_src = self._draw_plan(
+        src, starts, snrs, sig_starts, durs, nrirs, n_src = self._draw_plan(
             codes, names, np.asarray(lengths))
         if n not in self._fns:
             self._fns[n] = self._build_fn(n, names)
@@ -422,5 +445,5 @@ class WavAugmenter:
                            jnp.asarray(codes), jnp.asarray(src),
                            jnp.asarray(starts), jnp.asarray(snrs),
                            jnp.asarray(sig_starts), jnp.asarray(durs),
-                           jnp.asarray(n_src))
+                           jnp.asarray(nrirs), jnp.asarray(n_src))
         return out if device_out else np.asarray(out)

@@ -28,12 +28,14 @@ Semantics preserved:
   (AddPointSourceNoise :219-227); fg/bg SNRs come from cyclic lists
   (list_cyclic_iterator, :333-334).
 
-Deviation (documented): Kaldi convolves each point-source noise with an RIR
-from the same room before mixing (:216-226); the on-device branch mixes the
-noises dry.  The reference's own VoxCeleb path never exercises that code —
-run.sh:109-110 reverberates with NO additive noises ("we don't add any
-additive noise here"); MUSAN additions go through augment_data_dir.py, which
-also mixes dry.
+Point-source noises are convolved with an RIR drawn from the SAME room
+(by within-room RIR probability) before mixing, exactly as
+AddPointSourceNoise does (:215-226); each noise tuple carries its noise-RIR
+pool index and the device branch applies the convolution.  Isotropic noises
+are room recordings already and mix unconvolved, as in the reference.
+``room_convolve_noises=False`` restores the dry mix (cheaper; irrelevant to
+the VoxCeleb recipe, whose run.sh:109-110 reverberates with no additive
+noises).
 """
 
 from __future__ import annotations
@@ -223,10 +225,12 @@ def find_rir_sets(rir_dir: str) -> List[str]:
 class ReverbPlan:
     """One utterance's draw: RIR index into the loaded pool + up to K
     additive noises (index into the noise pool, SNR dB, start sample in the
-    SIGNAL, duration in samples; duration<0 = extend over the whole
-    signal)."""
+    SIGNAL, duration in samples, noise-RIR index; duration<0 = extend over
+    the whole signal; noise-RIR<0 = mix dry — isotropic noises and the
+    room_convolve_noises=False regime)."""
     rir: int
-    noises: List[Tuple[int, float, int, int]] = field(default_factory=list)
+    noises: List[Tuple[int, float, int, int, int]] = field(
+        default_factory=list)
 
 
 class ReverbPlanner:
@@ -253,7 +257,8 @@ class ReverbPlanner:
                  pointsource_noise_addition_probability: float = 1.0,
                  isotropic_noise_addition_probability: float = 1.0,
                  max_noises_per_minute: float = 1.0,
-                 max_rirs: int = 4096, seed: int = 0, rate: int = 16000):
+                 max_rirs: int = 4096, seed: int = 0, rate: int = 16000,
+                 room_convolve_noises: bool = True):
         self.rng = np.random.default_rng(seed)
         if len(rirs) > max_rirs:
             p = np.asarray([r.probability for r in rirs])
@@ -269,6 +274,16 @@ class ReverbPlanner:
         self.rirs = smooth_probabilities(rirs)
         self.rir_probs = np.asarray([r.probability for r in self.rirs])
         self.rir_rooms = [r.room_id for r in self.rirs]
+        self.room_convolve_noises = room_convolve_noises
+        # room -> (rir pool indices, within-room draw probabilities): the
+        # noise-RIR draw in AddPointSourceNoise (:215) picks from
+        # room.rir_list by RIR probability
+        self._room_rirs: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        for room in set(self.rir_rooms):
+            idx = np.asarray([i for i, r in enumerate(self.rir_rooms)
+                              if r == room])
+            p = self.rir_probs[idx]
+            self._room_rirs[room] = (idx, p / p.sum())
         self.point_noises = point_noises or []
         self.point_probs = (np.asarray([n.probability
                                         for n in self.point_noises])
@@ -334,8 +349,9 @@ class ReverbPlanner:
             probs = np.asarray([self._noise_entries[i].probability
                                 for i in iso_list])
             pick = int(self.rng.choice(iso_list, p=probs / probs.sum()))
-            # iso noise: start 0, extended over the whole speech, bg SNR
-            noises.append((pick, self._next_bg(), 0, -1))
+            # iso noise: start 0, extended over the whole speech, bg SNR,
+            # never room-convolved (it IS a room recording)
+            noises.append((pick, self._next_bg(), 0, -1, -1))
         dur_sec = n_samples / self.rate
         max_noises = int(self.max_noises_per_minute * dur_sec / 60.0)
         if (self.point_noises and max_noises >= 1
@@ -348,14 +364,20 @@ class ReverbPlanner:
                     len(self.point_noises),
                     p=self.point_probs / self.point_probs.sum()))
                 e = self.point_noises[pick]
+                # the noise's RIR: drawn from the SAME room as the speech
+                # RIR, by within-room probability (AddPointSourceNoise :215)
+                nrir = -1
+                if self.room_convolve_noises:
+                    r_idx, r_p = self._room_rirs[room]
+                    nrir = int(self.rng.choice(r_idx, p=r_p))
                 if e.bg_fg_type == "background":
-                    noises.append((pick, self._next_bg(), 0, -1))
+                    noises.append((pick, self._next_bg(), 0, -1, nrir))
                 else:
                     start = int(self.rng.random() * n_samples)
                     dur = n_samples - start
                     if noise_lens is not None:
                         dur = min(dur, int(noise_lens[pick]))
-                    noises.append((pick, self._next_fg(), start, dur))
+                    noises.append((pick, self._next_fg(), start, dur, nrir))
         if not apply_rir and not noises:
             return None
         return ReverbPlan(rir=ridx if apply_rir else -1, noises=noises)

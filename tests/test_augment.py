@@ -223,7 +223,7 @@ def test_config_snr_grids_reach_the_augmenter():
     wavs = (rng.standard_normal((6, 2000)) * 100).astype(np.float32)
     aug = pools.augmenter
     codes = np.ones(6, np.int32)
-    src, starts, snrs, _sig_starts, _durs, n_src = aug._draw_plan(
+    src, starts, snrs, _sig_starts, _durs, _nrirs, n_src = aug._draw_plan(
         codes, ["noise"], np.full(6, 2000))
     assert set(np.unique(snrs[:, 0])) <= {33.0, 22.0}
 

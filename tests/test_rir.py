@@ -140,7 +140,7 @@ def test_planner_draw_distribution_and_room_linkage(tmp_path):
     plan = None
     while plan is None or not plan.noises:
         plan = pl.draw(RATE)
-    ni, snr, s0, d = plan.noises[0]
+    ni, snr, s0, d, nrir = plan.noises[0]
     assert (snr, s0, d) == (13.0, 0, -1)
 
 
@@ -163,7 +163,7 @@ def test_planner_fg_bg_and_max_noises(tmp_path):
     fg_starts, fg_snrs = [], []
     for _ in range(200):
         plan = pl.draw(4 * RATE, noise_lens)
-        for ni, snr, s0, d in plan.noises:
+        for ni, snr, s0, d, nrir in plan.noises:
             if point[ni % len(point)].bg_fg_type == "foreground":
                 fg_starts.append(s0)
                 fg_snrs.append(snr)
@@ -230,7 +230,7 @@ def test_device_composed_noise_exact_snr(tmp_path):
         def draw(self, n_samples, noise_lens=None, max_slots=None):
             from pkr_tpu.recipes.rir import ReverbPlan
 
-            return ReverbPlan(rir=0, noises=[(0, 7.0, 0, -1)])
+            return ReverbPlan(rir=0, noises=[(0, 7.0, 0, -1, -1)])
 
     sig = (np.sin(2 * np.pi * 180 * np.arange(n) / RATE) * 2000).astype(
         np.float32)
@@ -247,6 +247,80 @@ def test_device_composed_noise_exact_snr(tmp_path):
     tiled = np.concatenate([noise, noise])[:n]
     corr = np.corrcoef(added, tiled)[0, 1]
     assert corr > 0.999
+
+
+def test_point_noise_room_convolution_oracle():
+    """Point-source noises are convolved with a same-room RIR before mixing
+    (AddPointSourceNoise :215-226): the device branch's added component
+    equals a host-side np.convolve of the tiled noise with that RIR
+    (peak-aligned, power-normalized), power-scaled to the requested SNR."""
+    from pkr_tpu.data.augment import WavAugmenter
+
+    rng = np.random.default_rng(9)
+    n = RATE
+    # RIR 0: delta (the speech path, isolating the noise component);
+    # RIR 1: direct path + echo (the noise's room RIR)
+    mats = np.zeros((2, 400), np.float32)
+    mats[0, 0] = 1.0
+    mats[1, 0] = 1.0
+    mats[1, 120] = 0.6
+    lens = np.asarray([1, 130])
+    noise = rng.standard_normal(n // 2).astype(np.float32) * 1000
+    npool = np.zeros((1, n), np.float32)
+    npool[0, :n // 2] = noise
+
+    class OnePlan:
+        room_convolve_noises = True
+
+        def draw(self, n_samples, noise_lens=None, max_slots=None):
+            from pkr_tpu.recipes.rir import ReverbPlan
+
+            return ReverbPlan(rir=0, noises=[(0, 7.0, 0, -1, 1)])
+
+    sig = (np.sin(2 * np.pi * 180 * np.arange(n) / RATE) * 2000).astype(
+        np.float32)
+    aug = WavAugmenter(rirs=(mats, lens), reverb_planner=OnePlan(),
+                       rvb_noise=(npool, np.asarray([n // 2])), seed=2)
+    out = aug(sig[None, :], np.asarray([n]), kinds=["reverb"])[0]
+    added = np.asarray(out, np.float64) - sig
+
+    # host oracle: tile the noise over the utterance, convolve with RIR 1,
+    # shift so the RIR peak maps t→t, power-normalize, SNR-scale
+    tiled = np.concatenate([noise, noise])[:n].astype(np.float64)
+    rir = mats[1][:lens[1]].astype(np.float64)
+    full = np.convolve(tiled, rir)
+    peak = int(np.argmax(np.abs(rir)))
+    wet = full[peak:peak + n]
+    wet = wet * np.sqrt((tiled ** 2).sum() / (wet ** 2).sum())
+    p_sig = (sig.astype(np.float64) ** 2).mean()
+    p_n = (wet ** 2).mean()
+    expected = wet * np.sqrt(p_sig / (p_n * 10.0 ** 0.7))
+    err = np.abs(added - expected).max() / np.abs(expected).max()
+    assert err < 2e-3, err
+    # and the mixed component still sits at the requested SNR
+    snr_measured = 10 * np.log10(p_sig / (added ** 2).mean())
+    np.testing.assert_allclose(snr_measured, 7.0, atol=0.05)
+
+
+def test_planner_noise_rir_is_same_room(tmp_path):
+    """The planner's noise-RIR draw stays within the speech RIR's room."""
+    root = _make_rir_tree(str(tmp_path / "RIRS_NOISES"))
+    nl = _make_noise_list(root)
+    rirs = parse_rir_list(find_rir_sets(root), base_dir=root)
+    point, iso = parse_noise_list([nl], base_dir=root)
+    pl = ReverbPlanner(rirs, point_noises=point, iso_noises={},
+                       max_noises_per_minute=120.0, seed=6)
+    assert pl.room_convolve_noises  # reference semantics by default
+    seen = 0
+    for _ in range(200):
+        plan = pl.draw(4 * RATE)
+        if plan is None or plan.rir < 0:
+            continue
+        for ni, snr, s0, d, nrir in plan.noises:
+            assert nrir >= 0
+            assert pl.rir_rooms[nrir] == pl.rir_rooms[plan.rir]
+            seen += 1
+    assert seen > 50
 
 
 def test_cli_stage1_reverb_reachable(tmp_path):
