@@ -37,7 +37,7 @@ def _stage_range(args):
     return range(args.stage, args.stop_stage + 1)
 
 
-def run_features(data_dir: str, out_dir: str, batch: int = 8,
+def run_features(data_dir: str, out_dir: str, batch: int = 32,
                  quantum_sec: float = 2.0, dither: float = 1.0,
                  apply_vad: bool = True, seed: int = 0,
                  pools=None, n_jobs: int = 4, frontend=None) -> None:
@@ -52,7 +52,14 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
     n_jobs thread pool (the nj-way fan-out role of make_fbank.sh's run.pl
     jobs — ffmpeg/sox pipe entries are subprocess-bound, so threads overlap
     them even on one core); augmentation and device work stay on the main
-    thread for deterministic RNG use."""
+    thread for deterministic RNG use.
+
+    Buckets run through a one-deep pipeline: the device computes bucket k
+    while the host pulls bucket k−1's results and CM-encodes the arks —
+    profiling (r4) showed the stage-1 wall was this serialized
+    dispatch→D2H→encode cycle, not wav decode (0.7 ms/utt vectorized).
+    batch=32 amortizes the per-dispatch latency of remote-attached chips
+    (this dev tunnel; PCIe hosts care less)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,6 +134,14 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
             feats, mask, vad = wav_to_train_feats(
                 jnp.asarray(wavs), jnp.asarray(lens), sub, cfg_for(warp),
                 apply_vad=apply_vad)
+            # pipeline: enqueue this bucket's (async) device results and
+            # write out the PREVIOUS bucket while the chip works on this one
+            pending.append((items, np.asarray(lens[:B]), feats, mask, vad))
+            if len(pending) > 1:
+                drain_one()
+
+        def drain_one():
+            items, lens, feats, mask, vad = pending.pop(0)
             feats, mask, vad = map(np.asarray, (feats, mask, vad))
             for b, (utt, w) in enumerate(items):
                 n = int(mask[b].sum())
@@ -134,6 +149,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 nf = int(num_frames(int(lens[b]), fb))
                 vw.write(utt, vad[b, :nf].astype(np.float32))
                 utt2nf[utt] = n
+
+        pending: List[tuple] = []
 
         def decode(entry):
             utt, rx = entry
@@ -164,6 +181,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 8,
                 flush(bkey, buckets.pop(bkey))
         for bkey in sorted(buckets):
             flush(bkey, buckets[bkey])
+        while pending:
+            drain_one()
         if pool is not None:
             pool.close()
             pool.join()

@@ -108,7 +108,7 @@ def build_rir_tree(root: str, rate: int = 16000):
 
 
 def time_stage1(data_dir: str, out_dir: str, pools, n_utts: int,
-                batch: int = 16) -> float:
+                batch: int = 32) -> float:
     from pkr_tpu.recipes.run import run_features
 
     t0 = time.perf_counter()
