@@ -399,11 +399,52 @@ def bootstrap_metrics(scores, labels, n=500, seed=1):
             np.percentile(dcfs, [2.5, 50, 97.5]))
 
 
-def run_once(root, pilot=False):
+def _torch_phase_cached(root, xs1, ys1, lr1, xs2, ys2, lr2):
+    """train_torch_two_phase behind a per-seed disk cache (param-stamped
+    like the corpus cache): the ~55-min torch-CPU half runs at most once
+    per seed, surviving pkr-phase crashes (TPU-tunnel outages) and
+    enabling --torch-only pre-banking."""
+    import torch
+
+    from test_engine_parity import TorchAAMTrainer
+
+    params = dict(seed=SEED, n_spk=N_SPK, n_utt=N_UTT, seconds=SECONDS,
+                  noise=NOISE, amp_j=AMP_J, epochs=EPOCHS,
+                  epochs_softmax=EPOCHS_SOFTMAX, batch=BATCH, crop=CROP_T,
+                  lr=LR0, trunk=TRUNK)
+    cache = os.path.join(root, f"torch_s{SEED}.pt")
+    if os.path.exists(cache):
+        try:
+            blob = torch.load(cache, map_location="cpu", weights_only=False)
+        except Exception as e:
+            print(f"seed {SEED}: torch cache unreadable ({e!r}), retraining",
+                  flush=True)
+            blob = None
+        if blob is not None and blob.get("params") == params:
+            tm1 = make_torch_softmax_trainer(N_SPK)
+            tm2 = TorchAAMTrainer(tm1.base, N_SPK)
+            tm2.load_state_dict(blob["tm_sd"])
+            print(f"seed {SEED}: torch phase from cache "
+                  f"(orig {blob['t_torch']:.0f}s)", flush=True)
+            return tm2, blob["init_sd"], blob["aam_init"], blob["t_torch"]
+        if blob is not None:
+            print(f"seed {SEED}: torch cache params changed, retraining",
+                  flush=True)
+    tm, init_sd, aam_init, t_torch = train_torch_two_phase(
+        xs1, ys1, lr1, xs2, ys2, lr2, N_SPK)
+    tmp = cache + ".tmp"
+    torch.save(dict(params=params, tm_sd=tm.state_dict(), init_sd=init_sd,
+                    aam_init=aam_init, t_torch=t_torch), tmp)
+    os.replace(tmp, cache)
+    return tm, init_sd, aam_init, t_torch
+
+
+def run_once(root, pilot=False, torch_only=False):
     """One full run at the current globals; returns a result row dict
     (seeded by the SEED global: corpus, init and schedule all re-drawn per
     seed, so seeds are independent replicates).  pilot=True trains the
-    pkr engine only (no torch) to validate corpus difficulty fast."""
+    pkr engine only (no torch) to validate corpus difficulty fast;
+    torch_only=True trains/caches the torch half and returns None."""
     data_dir = os.path.join(root, f"data_s{SEED}")
     utts, utt2spk = synth_corpus(data_dir)
     feats = load_features(data_dir, os.path.join(root, f"feats_s{SEED}"))
@@ -442,8 +483,16 @@ def run_once(root, pilot=False):
               f"{int(np.sum(l_p))} target)")
         return dict(seed=SEED, eer_p=eer_p, dcf1_p=dcf1_p, dcf2_p=dcf2_p)
 
-    tm, init_sd, aam_init, t_torch = train_torch_two_phase(
-        xs1, ys1, lr1, xs2, ys2, lr2, N_SPK)
+    tm, init_sd, aam_init, t_torch = _torch_phase_cached(
+        root, xs1, ys1, lr1, xs2, ys2, lr2)
+    if torch_only:
+        # CPU-only mode: the torch half is banked in the per-seed cache;
+        # a later non-torch-only invocation replays it in seconds and runs
+        # the (TPU) pkr half — lets the study make progress while the TPU
+        # tunnel is down and keeps the chip's usage to one short window
+        print(f"seed {SEED}: torch phase cached ({t_torch:.0f}s), "
+              "pkr half deferred", flush=True)
+        return None
     fm, state, t_pkr = train_pkr_two_phase(xs1, ys1, lr1, xs2, ys2, lr2,
                                            N_SPK, init_sd, aam_init)
 
@@ -564,6 +613,10 @@ def main():
     ap.add_argument("--trunk", type=str, default=TRUNK, choices=sorted(TRUNKS))
     ap.add_argument("--pilot", action="store_true",
                     help="pkr engine only (no torch): fast difficulty check")
+    ap.add_argument("--torch-only", action="store_true",
+                    help="train+cache the torch half per seed and skip the "
+                         "pkr half (no TPU needed); a later normal run "
+                         "replays the cache in seconds")
     ap.add_argument("--chaos", action="store_true",
                     help="chaos calibration: run the pkr engine twice on "
                          "one seed, identical except a 1e-7 init "
@@ -606,7 +659,9 @@ def main():
         return
     for s in range(args.seed_start, args.seed_start + args.seeds):
         SEED = s
-        row = run_once(root, pilot=args.pilot)
+        row = run_once(root, pilot=args.pilot, torch_only=args.torch_only)
+        if row is None:
+            continue
         if not args.pilot:
             with open(rows_path, "a") as f:
                 f.write(json.dumps(
