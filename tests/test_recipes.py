@@ -275,3 +275,32 @@ def test_speaker_embeddings_export():
     out = speaker_embeddings(vecs, u2s, "s1")
     assert set(out) == {"s1-u0", "s1-u1", "s1-u2"}
     assert all((v == 1).all() for v in out.values())
+
+
+def test_select_decode_subset_always_writes(tmp_path):
+    """feature_pre.sh:244-246 subset semantics + the multi-host contract:
+    out_path is ALWAYS (re)written so its content reflects THIS run's
+    decision — a stale subset file from a previous run must never leak to
+    peers when the current subset is a no-op (advisor r3, run.py:405)."""
+    from pkr_tpu.recipes.run import select_decode_subset
+
+    scp = tmp_path / "feats.scp"
+    scp.write_text("".join(f"u{i:02d} ark:{i}\n" for i in range(20)))
+    out = tmp_path / "decode.scp"
+
+    got = select_decode_subset(str(scp), 8, seed=3, out_path=str(out))
+    assert got == str(out)
+    lines = out.read_text().splitlines()
+    assert len(lines) == 8
+    assert set(lines) <= set(scp.read_text().splitlines())
+    # seeded determinism
+    select_decode_subset(str(scp), 8, seed=3, out_path=str(tmp_path / "b"))
+    assert (tmp_path / "b").read_text() == out.read_text()
+
+    # no-op subset (n >= corpus): the stale 8-line file is OVERWRITTEN
+    # with the full list, not left behind
+    got = select_decode_subset(str(scp), 50, seed=3, out_path=str(out))
+    assert got == str(out)
+    assert out.read_text().splitlines() == scp.read_text().splitlines()
+    got = select_decode_subset(str(scp), 0, seed=3, out_path=str(out))
+    assert out.read_text().splitlines() == scp.read_text().splitlines()
