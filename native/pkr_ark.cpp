@@ -20,6 +20,7 @@
 // Format reference for CM decode semantics: compressed-matrix.h (documented
 // in /root/reference/kaldi_io.py:427-460).  Build: make -C native.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -307,6 +308,195 @@ int pkr_read_mat(const char* path, long offset, float* out, long capacity,
   }
   delete[] buf;
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CompressedMatrix ENCODE (the stage-1 ark-write hot path).  Bit-identical
+// to kaldi_ark.compress_matrix / cm_quantize_columns: pure f32 arithmetic in
+// numpy's evaluation order (fp-contract off in the build), the same
+// FloatToUint16/Uint8 rounding (floor(f*N + 0.499) / the 3-piece
+// floor(x*step + bias)), the same int monotonicity clamps on the per-column
+// anchor codes, and grange computed as an f64 difference rounded once to
+// f32 (what numpy's weak-scalar promotion does to `float(max) - gmin`).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint16_t f_to_u16(float v, float gmin, float grange) {
+  float f = (v - gmin) / grange;
+  f = f < 0.0f ? 0.0f : (f > 1.0f ? 1.0f : f);
+  return (uint16_t)floorf(f * 65535.0f + 0.499f);
+}
+
+inline uint8_t f_to_u8_global(float v, float gmin, float grange) {
+  float f = (v - gmin) / grange;
+  f = f < 0.0f ? 0.0f : (f > 1.0f ? 1.0f : f);
+  return (uint8_t)floorf(f * 255.0f + 0.499f);
+}
+
+inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Bytes needed for the worst-case encoding of (rows, cols).
+long pkr_cm_bound(int rows, int cols) {
+  return 20 + (long)cols * 8 + (long)rows * cols * 2;
+}
+
+// Encode a row-major float32 (rows, cols) matrix as CompressedMatrix bytes
+// (token + header + payload, no "\0B" flag), matching
+// kaldi_ark.compress_matrix exactly.  method: 1 = kOneByteWithColHeaders,
+// 2 = kTwoByte, 3 = kOneByte, 0 = kAutomaticMethod (2 for <= 8 rows, else
+// 1).  Returns bytes written, or negative on error.
+long pkr_compress_matrix(const float* mat, int rows, int cols, int method,
+                         unsigned char* out, long capacity) {
+  if (rows < 0 || cols < 0) return -1;
+  if (method == 0) method = (rows <= 8) ? 2 : 1;
+  if (method < 1 || method > 3) return -1;
+
+  // global min / range: min/max are exact f32; the range is the f64
+  // difference rounded once to f32 (numpy weak-scalar semantics)
+  float mn = 0.0f, mx = 0.0f;
+  const long n = (long)rows * cols;
+  if (n > 0) {
+    mn = mx = mat[0];
+    for (long i = 1; i < n; ++i) {
+      const float v = mat[i];
+      if (v < mn) mn = v;
+      if (v > mx) mx = v;
+    }
+  }
+  double grange_d = (double)mx - (double)mn;
+  if (grange_d <= 0.0) grange_d = 1.0;
+  const float gmin = mn;
+  const float grange = (float)grange_d;
+
+  long need = 20 + ((method == 1) ? (long)cols * 8 + n
+                    : (method == 2) ? n * 2 : n);
+  if (need > capacity) return -5;
+
+  unsigned char* p = out;
+  if (method == 1) {
+    memcpy(p, "CM ", 3);
+    p += 3;
+  } else {
+    p[0] = 'C';
+    p[1] = 'M';
+    p[2] = (method == 2) ? '2' : '3';
+    p[3] = ' ';
+    p += 4;
+  }
+  memcpy(p, &gmin, 4);
+  memcpy(p + 4, &grange, 4);
+  int32_t r32 = rows, c32 = cols;
+  memcpy(p + 8, &r32, 4);
+  memcpy(p + 12, &c32, 4);
+  p += 16;
+
+  if (method == 2) {
+    uint16_t* dst = (uint16_t*)p;
+    for (long i = 0; i < n; ++i) dst[i] = f_to_u16(mat[i], gmin, grange);
+    return (p + n * 2) - out;
+  }
+  if (method == 3) {
+    for (long i = 0; i < n; ++i) p[i] = f_to_u8_global(mat[i], gmin, grange);
+    return (p + n) - out;
+  }
+
+  // format 1: per-column 4 anchor codes, then uint8 data column-major.
+  // One transposed pass up front (colmaj also feeds the quantize loop
+  // contiguously), then the order statistics via an nth_element chain —
+  // O(n) per column instead of a full sort (numpy's SIMD sort made the
+  // naive per-column std::sort SLOWER than the vectorized python codec).
+  uint16_t* hdrs = (uint16_t*)p;
+  unsigned char* data = p + (long)cols * 8;
+  float* colmaj = new float[(size_t)(n > 0 ? n : 1)];
+  for (int k = 0; k < rows; ++k) {
+    const float* row = mat + (size_t)k * cols;
+    for (int c = 0; c < cols; ++c) colmaj[(size_t)c * rows + k] = row[c];
+  }
+  float* colbuf = new float[(size_t)(rows > 0 ? rows : 1)];
+  for (int c = 0; c < cols; ++c) {
+    const float* col = colmaj + (size_t)c * rows;
+    float anchors[4];
+    if (rows >= 5) {
+      const int q = rows / 4;
+      memcpy(colbuf, col, (size_t)rows * 4);
+      // ranks 0, q, 3q, rows-1: min/max by scan, the two quartiles by a
+      // chained nth_element (the second operates on [q, end), which holds
+      // every element of rank >= q after the first call)
+      float mn_c = colbuf[0], mx_c = colbuf[0];
+      for (int k = 1; k < rows; ++k) {
+        const float v = colbuf[k];
+        if (v < mn_c) mn_c = v;
+        if (v > mx_c) mx_c = v;
+      }
+      std::nth_element(colbuf, colbuf + q, colbuf + rows);
+      anchors[1] = colbuf[q];
+      std::nth_element(colbuf + q, colbuf + 3 * q, colbuf + rows);
+      anchors[2] = colbuf[3 * q];
+      anchors[0] = mn_c;
+      anchors[3] = mx_c;
+    } else if (rows > 0) {
+      float mn_c = col[0], mx_c = col[0];
+      for (int k = 1; k < rows; ++k) {
+        const float v = col[k];
+        if (v < mn_c) mn_c = v;
+        if (v > mx_c) mx_c = v;
+      }
+      anchors[0] = anchors[1] = mn_c;
+      anchors[2] = anchors[3] = mx_c;
+    } else {
+      anchors[0] = anchors[1] = anchors[2] = anchors[3] = 0.0f;
+    }
+    // monotonic anchor codes with headroom (int arithmetic, as numpy int64)
+    long c0 = f_to_u16(anchors[0], gmin, grange);
+    long c1 = f_to_u16(anchors[1], gmin, grange);
+    long c2 = f_to_u16(anchors[2], gmin, grange);
+    long c3 = f_to_u16(anchors[3], gmin, grange);
+    c0 = std::min(c0, 65532L);
+    c1 = std::min(std::max(c1, c0 + 1), 65533L);
+    c2 = std::min(std::max(c2, c1 + 1), 65534L);
+    c3 = std::max(c3, c2 + 1);
+    uint16_t* h = hdrs + 4 * c;
+    h[0] = (uint16_t)c0;
+    h[1] = (uint16_t)c1;
+    h[2] = (uint16_t)c2;
+    h[3] = (uint16_t)c3;
+    // the quantization percentiles decode from the CODES (cm_percentile's
+    // f32 order), not from the raw anchors
+    const float p0 = cm_percentile(h[0], gmin, grange);
+    const float p25 = cm_percentile(h[1], gmin, grange);
+    const float p75 = cm_percentile(h[2], gmin, grange);
+    const float p100 = cm_percentile(h[3], gmin, grange);
+    const float d_low = std::max(p25 - p0, 1e-20f);
+    const float d_mid = std::max(p75 - p25, 1e-20f);
+    const float d_high = std::max(p100 - p75, 1e-20f);
+    unsigned char* dcol = data + (size_t)c * rows;
+    for (int k = 0; k < rows; ++k) {
+      const float v = col[k];
+      // branchless 3-piece quantize (random data mispredicts a 3-way
+      // branch ~50% of the time; selects vectorize under -O3) — formulas
+      // and evaluation order identical to the numpy codec's where()
+      const float lo =
+          clampf(floorf((v - p0) / d_low * 64.0f + 0.5f), 0.0f, 64.0f);
+      const float mi =
+          clampf(floorf((v - p25) / d_mid * 128.0f + 64.5f), 64.0f, 192.0f);
+      const float hi = clampf(floorf((v - p75) / d_high * 63.0f + 192.5f),
+                              192.0f, 255.0f);
+      const float u = (v < p25) ? lo : ((v < p75) ? mi : hi);
+      dcol[k] = (unsigned char)u;
+    }
+  }
+  delete[] colbuf;
+  delete[] colmaj;
+  return (data + (size_t)cols * rows) - out;
 }
 
 }  // extern "C"

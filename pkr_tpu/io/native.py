@@ -75,8 +75,35 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                  ctypes.POINTER(ctypes.c_int),
                                  ctypes.POINTER(ctypes.c_int)]
     lib.pkr_read_mat.restype = ctypes.c_int
+    try:
+        lib.pkr_compress_matrix.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long]
+        lib.pkr_compress_matrix.restype = ctypes.c_long
+    except AttributeError:  # stale prebuilt .so without the encoder
+        lib.pkr_compress_matrix = None
     _lib = lib
     return _lib
+
+
+def native_compress(mat: np.ndarray, method: int) -> Optional[bytes]:
+    """CompressedMatrix encode via the native library (bit-identical to
+    kaldi_ark's python codec — parity-tested); None = unavailable, caller
+    falls back to python."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "pkr_compress_matrix", None) is None:
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    rows, cols = mat.shape
+    cap = 20 + cols * 8 + rows * cols * 2
+    out = np.empty(cap, np.uint8)
+    n = lib.pkr_compress_matrix(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,
+        int(method),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
 
 
 def available() -> bool:

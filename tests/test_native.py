@@ -216,3 +216,42 @@ def test_cm2_short_matrix_crop_tiles(tmp_path):
     full = kaldi_ark.read_mat(f"{ark_path}:{offs['s']}")
     crop = native.read_crop_t(str(ark_path), offs["s"], 0, 10, 6)
     np.testing.assert_array_equal(crop, full[np.arange(10) % 4].T)
+
+
+def test_native_compress_bit_identical():
+    """The native CompressedMatrix ENCODER produces byte-identical output
+    to the numpy codec for every format and shape regime (incl. the
+    anchor-degenerate constant column and <5-row / <=8-row edges), and the
+    python decoder round-trips it."""
+    from pkr_tpu.io import kaldi_ark
+    from pkr_tpu.io.native import get_lib, native_compress
+
+    if get_lib() is None or getattr(get_lib(), "pkr_compress_matrix",
+                                    None) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    mats = [
+        rng.standard_normal((600, 40)).astype(np.float32) * 3.0,
+        rng.standard_normal((5, 7)).astype(np.float32),
+        rng.standard_normal((4, 3)).astype(np.float32),   # <5 rows anchors
+        rng.standard_normal((8, 16)).astype(np.float32),  # automatic → CM2
+        np.zeros((50, 6), np.float32),                    # zero range
+        np.concatenate([np.full((100, 4), 2.5, np.float32),
+                        rng.standard_normal((100, 4)).astype(np.float32)],
+                       axis=1),                           # constant columns
+    ]
+    for m in mats:
+        for method in (None, 1, 2, 3):
+            py = kaldi_ark.compress_matrix(m, method=method)
+            nat = kaldi_ark.compress_matrix(m, method=method, use_native=True)
+            assert nat == py, (m.shape, method)
+        # decode round trip through the python reader
+        import io as _io
+
+        blob = b"\x00B" + kaldi_ark.compress_matrix(m)
+        dec = kaldi_ark.read_mat(_io.BytesIO(blob))
+        assert dec.shape == m.shape
+        span = float(m.max() - m.min()) or 1.0
+        assert np.abs(dec - m).max() <= span / 50.0 + 1e-6
