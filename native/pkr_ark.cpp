@@ -400,8 +400,13 @@ long pkr_compress_matrix(const float* mat, int rows, int cols, int method,
   p += 16;
 
   if (method == 2) {
-    uint16_t* dst = (uint16_t*)p;
-    for (long i = 0; i < n; ++i) dst[i] = f_to_u16(mat[i], gmin, grange);
+    // byte-wise stores: p sits at token+header offsets with no alignment
+    // contract (and format 1's payload base is odd) — typed uint16_t*
+    // stores would be UB on alignment-strict targets
+    for (long i = 0; i < n; ++i) {
+      const uint16_t code = f_to_u16(mat[i], gmin, grange);
+      memcpy(p + i * 2, &code, 2);
+    }
     return (p + n * 2) - out;
   }
   if (method == 3) {
@@ -414,7 +419,7 @@ long pkr_compress_matrix(const float* mat, int rows, int cols, int method,
   // contiguously), then the order statistics via an nth_element chain —
   // O(n) per column instead of a full sort (numpy's SIMD sort made the
   // naive per-column std::sort SLOWER than the vectorized python codec).
-  uint16_t* hdrs = (uint16_t*)p;
+  unsigned char* hdr_bytes = p;  // odd offset: store codes via memcpy only
   unsigned char* data = p + (long)cols * 8;
   float* colmaj = new float[(size_t)(n > 0 ? n : 1)];
   for (int k = 0; k < rows; ++k) {
@@ -464,11 +469,9 @@ long pkr_compress_matrix(const float* mat, int rows, int cols, int method,
     c1 = std::min(std::max(c1, c0 + 1), 65533L);
     c2 = std::min(std::max(c2, c1 + 1), 65534L);
     c3 = std::max(c3, c2 + 1);
-    uint16_t* h = hdrs + 4 * c;
-    h[0] = (uint16_t)c0;
-    h[1] = (uint16_t)c1;
-    h[2] = (uint16_t)c2;
-    h[3] = (uint16_t)c3;
+    const uint16_t h[4] = {(uint16_t)c0, (uint16_t)c1, (uint16_t)c2,
+                           (uint16_t)c3};
+    memcpy(hdr_bytes + (size_t)c * 8, h, 8);
     // the quantization percentiles decode from the CODES (cm_percentile's
     // f32 order), not from the raw anchors
     const float p0 = cm_percentile(h[0], gmin, grange);

@@ -293,6 +293,10 @@ class WavAugmenter:
                         on = jnp.where(i < n_src, 1.0, 0.0)
                         t = jax.lax.dynamic_slice(
                             rvb_tiled, (src[i], starts[i]), (1, n))[0]
+                        d = jnp.where(durs[i] < 0, length, durs[i])
+                        w = ((ar >= sig_starts[i])
+                             & (ar < sig_starts[i] + d)
+                             & (ar < length)).astype(sig.dtype)
                         if noise_conv:
                             # AddPointSourceNoise (:215-226): the point-
                             # source noise is wav-reverberated with an RIR
@@ -300,15 +304,17 @@ class WavAugmenter:
                             # power normalization cancels under the power-
                             # ratio SNR scale below, so only the temporal/
                             # spectral smearing survives — as in the
-                            # reference.  nrir<0 (iso noises, dry regime)
-                            # keeps the raw row.
+                            # reference.  The conv input is WINDOWED first
+                            # (t·w): a fg noise at start s0 must echo its
+                            # own clip, not the circular tail the tiled row
+                            # holds before s0; the re-window below then
+                            # truncates the conv tail like wav-reverberate's
+                            # length-preserving output.  nrir<0 (iso noises,
+                            # dry regime) keeps the raw row.
                             k = jnp.maximum(nrirs[i], 0)
-                            wet_t = reverberate(t, length, rmats[k], rlens[k])
+                            wet_t = reverberate(t * w, length,
+                                                rmats[k], rlens[k])
                             t = jnp.where(nrirs[i] >= 0, wet_t, t)
-                        d = jnp.where(durs[i] < 0, length, durs[i])
-                        w = ((ar >= sig_starts[i])
-                             & (ar < sig_starts[i] + d)
-                             & (ar < length)).astype(sig.dtype)
                         # wav-reverberate AddNoise scales by the POWER
                         # (mean-square) ratio over each signal's own
                         # duration — for fg noises shorter than the

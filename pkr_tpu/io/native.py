@@ -80,6 +80,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long]
         lib.pkr_compress_matrix.restype = ctypes.c_long
+        lib.pkr_cm_bound.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.pkr_cm_bound.restype = ctypes.c_long
     except AttributeError:  # stale prebuilt .so without the encoder
         lib.pkr_compress_matrix = None
     _lib = lib
@@ -95,7 +97,7 @@ def native_compress(mat: np.ndarray, method: int) -> Optional[bytes]:
         return None
     mat = np.ascontiguousarray(mat, dtype=np.float32)
     rows, cols = mat.shape
-    cap = 20 + cols * 8 + rows * cols * 2
+    cap = int(lib.pkr_cm_bound(rows, cols))  # the library's own bound
     out = np.empty(cap, np.uint8)
     n = lib.pkr_compress_matrix(
         mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,

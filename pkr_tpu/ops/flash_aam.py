@@ -124,7 +124,14 @@ def _adapt_tile(tile, B, C):
 def _margined_target_z(e_hat, weight, labels, m, s):
     """The target class's margined, scaled logit via a (B, D) gather +
     row-dot — the reference value the kernel's online rank count compares
-    against.  Same normalization/margin formulas as the kernel."""
+    against.  Same normalization/margin formulas as the kernel.
+
+    Cost note: the rank machinery (this gather+dot plus one VPU compare+add
+    per class-tile element) runs even on the loss-only path — kept
+    unconditional deliberately.  Per logit the compare is 2 VPU ops against
+    the MXU's 2·D (=512) MACs, ~0.4% of kernel work and off the MXU's
+    critical path, which is cheaper than maintaining a second traced kernel
+    variant per (with/without-metrics) regime."""
     w_y = jnp.take(weight, labels, axis=0).astype(jnp.float32)  # (B, D)
     w_hat = w_y / jnp.sqrt(jnp.maximum(jnp.sum(w_y * w_y, axis=1,
                                                keepdims=True), 1e-24))

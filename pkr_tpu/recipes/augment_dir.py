@@ -119,6 +119,7 @@ class AugmentPools:
         # rotation observability (VERDICT r3 weak #6)
         self.rotations_done = 0
         self.rotation_wait_batches = 0
+        self.rotation_errors = 0
 
     def attach_rir_set(self, rir_dir: str,
                        noise_set_params=None,
@@ -271,7 +272,12 @@ class AugmentPools:
             # longer than rotate_rows promises
             self.rotation_wait_batches += 1
             return
-        self.rotations_done += 1
+        if self._prefetch["pools"]:
+            # count only cycles that actually swapped a shard in: a cycle
+            # where every prefetch failed must not inflate the diversity
+            # metric (the failures get their own counter)
+            self.rotations_done += 1
+        self.rotation_errors += len(self._prefetch["errors"])
         for kind, err in self._prefetch["errors"].items():
             # a failed shard read must be VISIBLE, not silently skipped:
             # the kind keeps its current pool this cycle and rotation

@@ -196,7 +196,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 32,
         # nonzero wait count means a slow disk kept shards live past
         # rotate_rows — visible here instead of silently degrading
         rec = {"pool_rotations_done": pools.rotations_done,
-               "pool_rotation_wait_batches": pools.rotation_wait_batches}
+               "pool_rotation_wait_batches": pools.rotation_wait_batches,
+               "pool_rotation_errors": pools.rotation_errors}
         with open(os.path.join(out_dir, "stage1_metrics.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
         if pools.rotation_wait_batches:
@@ -443,19 +444,44 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str,
         if jax.process_index() == 0:
             scp = select_decode_subset(scp, subset, cfg.train.seed, sub_path)
         if jax.process_count() > 1:
+            import numpy as _np
             from jax.experimental import multihost_utils
 
+            # freshness contract: mere existence of sub_path is not enough —
+            # a previous run's file satisfies os.path.exists instantly and a
+            # stale NFS dentry can even serve old CONTENT after rank 0's
+            # os.replace.  Rank 0 broadcasts a per-run nonce and writes it
+            # to a stamp file AFTER the subset scp; peers wait until they
+            # read back exactly this run's nonce, which orders their view
+            # of the scp write on close-to-open-consistent storage.
+            nonce = int(_np.random.default_rng().integers(1, 2**62))
+            nonce = int(multihost_utils.broadcast_one_to_all(
+                _np.asarray(nonce, _np.int64)))
+            stamp = sub_path + ".stamp"
+            if jax.process_index() == 0:
+                tmp = stamp + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(nonce))
+                os.replace(tmp, stamp)
             multihost_utils.sync_global_devices(f"decode-subset-{out_name}")
             if jax.process_index() != 0:
                 deadline = time.time() + 60.0
-                while not os.path.exists(sub_path) and time.time() < deadline:
+                seen = None
+                while time.time() < deadline:
+                    try:
+                        seen = open(stamp).read().strip()
+                    except OSError:
+                        seen = None
+                    if seen == str(nonce):
+                        break
                     time.sleep(0.5)  # shared-storage visibility lag
-                if not os.path.exists(sub_path):
+                if seen != str(nonce):
                     raise RuntimeError(
-                        f"rank {jax.process_index()}: subset scp {sub_path} "
-                        "not visible 60s after the decode-subset barrier — "
-                        "refusing to fall back to the full scp (hosts would "
-                        "shard different utterance lists)")
+                        f"rank {jax.process_index()}: subset stamp {stamp} "
+                        f"did not show this run's nonce within 60s of the "
+                        "decode-subset barrier — refusing to risk a stale "
+                        "subset scp (hosts would shard different utterance "
+                        "lists)")
             scp = sub_path
     src = FeatureSource(scp)
     pi, pc = jax.process_index(), jax.process_count()

@@ -162,7 +162,7 @@ def test_two_process_multihost_training(tmp_path):
         [sys.executable, str(worker), str(p), "2", str(port)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for p in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     # both hosts report, and their replicated params agree bit-for-bit
@@ -202,6 +202,11 @@ exp_dir = os.path.join(work, "exp")
 recipe.run_train(cfg, feat_dir, exp_dir)           # sharded loaders, rank-0 ckpt
 recipe.run_extract(cfg, feat_dir, exp_dir,
                    os.path.join(feat_dir, "train", "feats.scp"), "train.iv")
+# cohort-subset extraction: rank 0 writes the subset scp + a per-run nonce
+# stamp, peers verify the stamp before sharding (feature_pre.sh stage 6)
+recipe.run_extract(cfg, feat_dir, exp_dir,
+                   os.path.join(feat_dir, "train", "feats.scp"), "sub.iv",
+                   subset=5)
 print(f"cli worker {{pid}} done", flush=True)
 """
 
@@ -240,7 +245,7 @@ def test_two_process_cli_train_extract(tmp_path):
         [sys.executable, str(worker), str(p), "2", str(port), str(work)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for p in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
 
@@ -256,3 +261,14 @@ def test_two_process_cli_train_extract(tmp_path):
     assert set(e0) | set(e1) == train_scp
     for v in list(e0.values()) + list(e1.values()):
         assert np.isfinite(v).all()
+
+    # the cohort-subset extraction agreed across hosts: the subset scp was
+    # stamped with this run's nonce and both hosts sharded exactly it
+    sub_scp = os.path.join(exp_dir, "decode_sub.iv.scp")
+    assert os.path.exists(sub_scp) and os.path.exists(sub_scp + ".stamp")
+    sub_keys = {l.split()[0] for l in open(sub_scp)}
+    assert len(sub_keys) == 5
+    s0 = load_text_vec_ark(os.path.join(exp_dir, "sub.iv.0"))
+    s1 = load_text_vec_ark(os.path.join(exp_dir, "sub.iv.1"))
+    assert not (set(s0) & set(s1))
+    assert set(s0) | set(s1) == sub_keys

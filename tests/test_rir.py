@@ -302,6 +302,62 @@ def test_point_noise_room_convolution_oracle():
     np.testing.assert_allclose(snr_measured, 7.0, atol=0.05)
 
 
+def test_point_noise_room_convolution_foreground_window():
+    """FOREGROUND noise at start s0 > 0: the room convolution must echo the
+    noise CLIP, not the circular tail the tiled row holds before s0 — the
+    conv input is windowed first and the output re-windowed (wav-reverberate
+    convolves the isolated noise and preserves its length)."""
+    from pkr_tpu.data.augment import WavAugmenter
+
+    rng = np.random.default_rng(12)
+    n = RATE
+    s0, d = 4000, n // 4
+    mats = np.zeros((2, 400), np.float32)
+    mats[0, 0] = 1.0         # speech: delta (isolate the noise component)
+    mats[1, 0] = 1.0
+    mats[1, 150] = 0.7       # noise RIR: strong late echo
+    lens = np.asarray([1, 160])
+    noise = rng.standard_normal(d).astype(np.float32) * 1000
+    npool = np.zeros((1, n), np.float32)
+    npool[0, :d] = noise
+
+    class OnePlan:
+        room_convolve_noises = True
+
+        def draw(self, n_samples, noise_lens=None, max_slots=None):
+            from pkr_tpu.recipes.rir import ReverbPlan
+
+            return ReverbPlan(rir=0, noises=[(0, 5.0, s0, d, 1)])
+
+    sig = (np.sin(2 * np.pi * 200 * np.arange(n) / RATE) * 2000).astype(
+        np.float32)
+    aug = WavAugmenter(rirs=(mats, lens), reverb_planner=OnePlan(),
+                       rvb_noise=(npool, np.asarray([d])), seed=3)
+    out = aug(sig[None, :], np.asarray([n]), kinds=["reverb"])[0]
+    added = np.asarray(out, np.float64) - sig
+
+    # nothing before the window start: no circular pre-echo leaked in
+    assert np.abs(added[:s0]).max() < 1e-3 * np.abs(added).max()
+    # host oracle: windowed clip convolved, peak-aligned, power-normalized
+    # over the full row, re-windowed, power-ratio SNR scaled
+    L = d  # pool row true length == clip length here
+    row = np.zeros(n)
+    # the tiled row at sig alignment: starts = (L - s0 % L) % L makes
+    # tiled[s0 + k] = noise[k]; windowed → the clip sits at [s0, s0+d)
+    row[s0:s0 + d] = noise
+    rir = mats[1][:lens[1]].astype(np.float64)
+    full = np.convolve(row, rir)
+    peak = int(np.argmax(np.abs(rir)))
+    wet = full[peak:peak + n]
+    wet = wet * np.sqrt((row ** 2).sum() / (wet ** 2).sum())
+    wet = wet * (np.arange(n) >= s0) * (np.arange(n) < s0 + d)  # re-window
+    p_sig = (sig.astype(np.float64) ** 2).mean()
+    p_n = (wet ** 2).sum() / d
+    expected = wet * np.sqrt(p_sig / (p_n * 10.0 ** 0.5))
+    err = np.abs(added - expected).max() / np.abs(expected).max()
+    assert err < 2e-3, err
+
+
 def test_planner_noise_rir_is_same_room(tmp_path):
     """The planner's noise-RIR draw stays within the speech RIR's room."""
     root = _make_rir_tree(str(tmp_path / "RIRS_NOISES"))

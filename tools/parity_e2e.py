@@ -634,6 +634,15 @@ def main():
     from pkr_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    if args.torch_only:
+        # --torch-only promises "no TPU needed", but a seed with a cold
+        # feature cache goes through run_features (jax): pin jax to CPU so
+        # feature extraction works with the TPU tunnel down.  Per-seed
+        # features are shared by both engines from the on-disk cache, so
+        # which backend extracted them cannot bias the paired comparison.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import tempfile
 
