@@ -786,6 +786,21 @@ def _write_doc(rows, args):
         se_d = gd.std(ddof=1) / np.sqrt(n)
         ok_e = abs(ge.mean()) <= 2.0 * se_e
         ok_d = abs(gd.mean()) <= 2.0 * se_d
+        # BASELINE.md's quality target is "within 0.1% absolute" — claim it
+        # ONLY when the whole 2·SE interval fits inside ±0.001, never from
+        # the point estimate (VERDICT r3 weak #2)
+        target = 0.001
+        inside = abs(ge.mean()) + 2.0 * se_e <= target
+        target_note = (
+            f"  The EER-gap interval |{ge.mean():+.4f}| + {2 * se_e:.4f} "
+            + (f"fits inside BASELINE.md's 0.1% absolute target — the "
+               f"target is met with statistical cover at n={n} seeds."
+               if inside else
+               f"does not yet fit inside BASELINE.md's 0.1% absolute "
+               f"target (needs ≈{int(np.ceil((2 * ge.std(ddof=1) / max(target - abs(ge.mean()), 1e-9)) ** 2))} "
+               "seeds at the current spread) — the claim stays at "
+               "'indistinguishable from zero at this interval', not "
+               "'inside 0.1%'."))
         verdict = (
             f"per-seed CIs overlap on {sum(overlaps)}/{len(rows)} seeds — "
             "trial-resampling CIs are narrower than the engines' numerical "
@@ -797,7 +812,8 @@ def _write_doc(rows, args):
             + ("neither gap is distinguishable from zero: no systematic "
                "engine advantage; quality parity holds at the "
                "distribution level." if ok_e and ok_d else
-               "a gap is statistically nonzero — investigate."))
+               "a gap is statistically nonzero — investigate.")
+            + target_note)
     else:
         verdict = (f"CIs overlap on only {sum(overlaps)}/{len(rows)} seeds "
                    "and too few seeds for the paired test — run more seeds.")
