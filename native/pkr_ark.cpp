@@ -361,13 +361,18 @@ long pkr_compress_matrix(const float* mat, int rows, int cols, int method,
   if (method < 1 || method > 3) return -1;
 
   // global min / range: min/max are exact f32; the range is the f64
-  // difference rounded once to f32 (numpy weak-scalar semantics)
+  // difference rounded once to f32 (numpy weak-scalar semantics).
+  // Non-finite input is rejected here (-6): NaN breaks nth_element's
+  // strict-weak-ordering and the float→uint casts of NaN/Inf are UB, while
+  // the numpy codec degrades deterministically — the caller falls back to
+  // the python path for such matrices.
   float mn = 0.0f, mx = 0.0f;
   const long n = (long)rows * cols;
   if (n > 0) {
     mn = mx = mat[0];
-    for (long i = 1; i < n; ++i) {
+    for (long i = 0; i < n; ++i) {
       const float v = mat[i];
+      if (!std::isfinite(v)) return -6;
       if (v < mn) mn = v;
       if (v > mx) mx = v;
     }

@@ -283,6 +283,12 @@ class ReverbPlanner:
             idx = np.asarray([i for i, r in enumerate(self.rir_rooms)
                               if r == room])
             p = self.rir_probs[idx]
+            if p.sum() == 0:
+                # a room whose RIRs all carry exactly-0 probability (the
+                # smooth_probabilities user-sum>=1 case) is unreachable from
+                # the speech-RIR draw — skip it instead of building a NaN
+                # probability array
+                continue
             self._room_rirs[room] = (idx, p / p.sum())
         self.point_noises = point_noises or []
         self.point_probs = (np.asarray([n.probability
@@ -342,7 +348,7 @@ class ReverbPlanner:
         ridx = int(self.rng.choice(len(self.rirs),
                                    p=self.rir_probs / self.rir_probs.sum()))
         apply_rir = self.rng.random() < self.speech_rvb_probability
-        noises: List[Tuple[int, float, int, int]] = []
+        noises: List[Tuple[int, float, int, int, int]] = []
         room = self.rir_rooms[ridx]
         iso_list = self._iso_index.get(room, [])
         if iso_list and self.rng.random() < self.iso_prob:

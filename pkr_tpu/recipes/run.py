@@ -405,7 +405,9 @@ def select_decode_subset(scp: str, n: int, seed: int, out_path: str) -> str:
         keep = sorted(rng.choice(len(lines), n, replace=False))
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
-        f.write("\n".join(lines[i] for i in keep) + "\n")
+        # per-line writes: an empty keep list yields an empty file, not a
+        # single blank line that downstream scp parsing would reject
+        f.write("".join(f"{lines[i]}\n" for i in keep))
     os.replace(tmp, out_path)
     return out_path
 

@@ -127,7 +127,12 @@ def test_flash_train_step_matches_dense():
     assert abs(float(m_dense["loss"]) - float(m_flash["loss"])) < 1e-3
     # the kernel's online-max top-1 IS the dense margined argmax (r3)
     assert float(m_flash["acc1"]) == float(m_dense["acc1"])
-    # the kernel's online target-rank count IS the dense top-5 (r4)
+    # the kernel's online target-rank count IS the dense top-5 (r4).
+    # Exact equality is safe HERE because flash_interpret=True makes the
+    # kernel's reductions deterministic pure-jax ops on the same backend as
+    # the dense path; on compiled backends a last-ulp tie between the
+    # separately-reduced target logit and a non-target MXU logit could flip
+    # the rank count by one — compare with a 1/B tolerance there.
     assert float(m_flash["acc5"]) == float(m_dense["acc5"])
     np.testing.assert_allclose(
         np.asarray(s_flash.params["aam_weight"]),
