@@ -83,6 +83,10 @@ class DataConfig:
     pool_len_sec: float = 12.0
     pool_shard_mb: int = 256
     pool_rotate_rows: int = 2000
+    # stage-1 host fan-out (the reference's nj role, make_fbank.sh:118-126):
+    # wav-decode thread count and CM-encode worker count (per-shard arks)
+    decode_jobs: int = 4
+    encode_workers: int = 1
 
 
 @dataclass(frozen=True)

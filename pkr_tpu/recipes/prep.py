@@ -3,6 +3,8 @@
     python -m pkr_tpu.recipes.prep voxceleb2 /data/voxceleb2 dev data/vox2_dev
     python -m pkr_tpu.recipes.prep voxceleb1 /data/voxceleb1 test data/vox1_test
     python -m pkr_tpu.recipes.prep trials /data/veri_test.txt data/vox1_test/trials
+    python -m pkr_tpu.recipes.prep voxceleb1-trials data/test \\
+        --clean veri_test.txt --extended list_test_all.txt --hard list_test_hard.txt
     python -m pkr_tpu.recipes.prep musan /data/musan data/musan
     python -m pkr_tpu.recipes.prep combine data/vox2_dev data/vox1_dev data/train
     python -m pkr_tpu.recipes.prep augment data/train data/train_aug [--speed]
@@ -32,6 +34,14 @@ def main(argv=None):
     p = sub.add_parser("trials")
     p.add_argument("src")
     p.add_argument("out")
+    p = sub.add_parser(
+        "voxceleb1-trials",
+        help="feature_pre.sh:61-73 in one step: trials_o/e/h + wavlist "
+             "filter + fix of the combined VoxCeleb1 test dir")
+    p.add_argument("test_dir")
+    p.add_argument("--clean", help="voxceleb1_clean.txt → trials_o")
+    p.add_argument("--extended", help="voxceleb1_E_clean.txt → trials_e")
+    p.add_argument("--hard", help="voxceleb1_H_clean.txt → trials_h")
     p = sub.add_parser("musan")
     p.add_argument("root")
     p.add_argument("out")
@@ -56,6 +66,11 @@ def main(argv=None):
     elif args.cmd == "trials":
         n = voxceleb.convert_voxceleb1_trials(args.src, args.out)
         print(f"{args.out}: {n} trials")
+    elif args.cmd == "voxceleb1-trials":
+        counts = voxceleb.prepare_voxceleb1_trials(
+            args.test_dir, clean=args.clean, extended=args.extended,
+            hard=args.hard)
+        print(" ".join(f"{k}={v}" for k, v in counts.items()))
     elif args.cmd == "musan":
         dirs = voxceleb.make_musan(args.root)
         for kind, dd in dirs.items():

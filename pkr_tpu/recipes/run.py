@@ -37,10 +37,89 @@ def _stage_range(args):
     return range(args.stage, args.stop_stage + 1)
 
 
+class _ShardedFeatWriter:
+    """N encoder workers, each owning its own feats/vad ark+scp pair — the
+    reference's per-nj `raw_fbank_$name.JOB.{ark,scp}` layout
+    (local/make_fbank.sh:118-126) realized as threads inside the one device
+    process (a TPU chip is single-process-owned, so the nj fan-out moves to
+    the host-side CM encode, which is numpy-vectorized and releases the
+    GIL).  Utterances are assigned round-robin in drain order; close()
+    concatenates the shard scps into feats.scp / vad.scp."""
+
+    def __init__(self, out_dir: str, n_workers: int):
+        import queue
+        import threading
+
+        from pkr_tpu.io import write_ark_scp
+
+        self.out_dir = out_dir
+        self.n = n_workers
+        self._queues = [queue.Queue(maxsize=128) for _ in range(n_workers)]
+        self._writers = [
+            (write_ark_scp(os.path.join(out_dir, f"feats.{i}.ark"),
+                           os.path.join(out_dir, f"feats.{i}.scp"),
+                           compress=True),
+             write_ark_scp(os.path.join(out_dir, f"vad.{i}.ark"),
+                           os.path.join(out_dir, f"vad.{i}.scp")))
+            for i in range(n_workers)]
+        self._errors: List[BaseException] = []
+        self._threads = [
+            threading.Thread(target=self._run, args=(i,), daemon=True)
+            for i in range(n_workers)]
+        for t in self._threads:
+            t.start()
+        self._next = 0
+
+    def _run(self, i: int) -> None:
+        fw, vw = self._writers[i]
+        while True:
+            item = self._queues[i].get()
+            if item is None:
+                return
+            try:
+                utt, feat, vad = item
+                fw.write(utt, feat)
+                vw.write(utt, vad)
+            except BaseException as e:  # surfaced by close()
+                self._errors.append(e)
+                return
+
+    def write(self, utt: str, feat, vad) -> None:
+        if self._errors:
+            raise self._errors[0]
+        self._queues[self._next].put((utt, feat, vad))
+        self._next = (self._next + 1) % self.n
+
+    def close(self) -> None:
+        for q in self._queues:
+            q.put(None)
+        for t in self._threads:
+            t.join()
+        for fw, vw in self._writers:
+            fw.close()
+            vw.close()
+        if self._errors:
+            raise self._errors[0]
+        for name in ("feats", "vad"):
+            with open(os.path.join(self.out_dir, f"{name}.scp"), "w") as out:
+                for i in range(self.n):
+                    shard = os.path.join(self.out_dir, f"{name}.{i}.scp")
+                    out.write(open(shard).read())
+                    os.remove(shard)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not exc[0]:
+            self.close()
+
+
 def run_features(data_dir: str, out_dir: str, batch: int = 32,
                  quantum_sec: float = 2.0, dither: float = 1.0,
                  apply_vad: bool = True, seed: int = 0,
-                 pools=None, n_jobs: int = 4, frontend=None) -> None:
+                 pools=None, n_jobs: int = 4, frontend=None,
+                 encode_workers: int = 1) -> None:
     """Batched on-device feature extraction over a data dir's wav.scp.
 
     `frontend` (a pkr_tpu.frontend.FrontendConfig) carries the FULL feature
@@ -99,12 +178,27 @@ def run_features(data_dir: str, out_dir: str, batch: int = 32,
     entries = sorted(dd["wav.scp"].items())
     quantum = int(quantum_sec * fb.sample_frequency)
 
+    import contextlib
+
     buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
     utt2nf = {}
-    with write_ark_scp(os.path.join(out_dir, "feats.ark"),
-                       os.path.join(out_dir, "feats.scp"), compress=True) as fw, \
-            write_ark_scp(os.path.join(out_dir, "vad.ark"),
-                          os.path.join(out_dir, "vad.scp")) as vw:
+    with contextlib.ExitStack() as stack:
+        if encode_workers > 1:
+            sink = stack.enter_context(
+                _ShardedFeatWriter(out_dir, encode_workers))
+            emit = sink.write
+        else:
+            fw = stack.enter_context(
+                write_ark_scp(os.path.join(out_dir, "feats.ark"),
+                              os.path.join(out_dir, "feats.scp"),
+                              compress=True))
+            vw = stack.enter_context(
+                write_ark_scp(os.path.join(out_dir, "vad.ark"),
+                              os.path.join(out_dir, "vad.scp")))
+
+            def emit(utt, feat, vad):
+                fw.write(utt, feat)
+                vw.write(utt, vad)
 
         def flush(bucket_key, items):
             nonlocal key
@@ -145,9 +239,8 @@ def run_features(data_dir: str, out_dir: str, batch: int = 32,
             feats, mask, vad = map(np.asarray, (feats, mask, vad))
             for b, (utt, w) in enumerate(items):
                 n = int(mask[b].sum())
-                fw.write(utt, feats[b, :n])
                 nf = int(num_frames(int(lens[b]), fb))
-                vw.write(utt, vad[b, :nf].astype(np.float32))
+                emit(utt, feats[b, :n], vad[b, :nf].astype(np.float32))
                 utt2nf[utt] = n
 
         pending: List[tuple] = []
@@ -735,10 +828,14 @@ def main(argv=None):
             print(f"== stage 1: features → {feat_dir}")
             dither = cfg.frontend.fbank.dither
             run_features(args.data_dir, feat_dir, dither=dither, pools=pools,
-                         seed=cfg.train.seed, frontend=cfg.frontend)
+                         seed=cfg.train.seed, frontend=cfg.frontend,
+                         n_jobs=cfg.data.decode_jobs,
+                         encode_workers=cfg.data.encode_workers)
             if args.test_data_dir:
                 run_features(args.test_data_dir, test_feat_dir, dither=dither,
-                             seed=cfg.train.seed, frontend=cfg.frontend)
+                             seed=cfg.train.seed, frontend=cfg.frontend,
+                             n_jobs=cfg.data.decode_jobs,
+                             encode_workers=cfg.data.encode_workers)
         elif stage == 2:
             print("== stage 2: filter/split/labels")
             n = run_split(feat_dir, args.data_dir, cfg.data.min_frames,

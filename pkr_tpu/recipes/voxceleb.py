@@ -89,6 +89,54 @@ def convert_voxceleb1_trials(src_path: str, out_path: str) -> int:
     return n
 
 
+def prepare_voxceleb1_trials(test_dir: str,
+                             clean: str = None,
+                             extended: str = None,
+                             hard: str = None) -> Dict[str, int]:
+    """The whole feature_pre.sh:61-73 stage-0 block as one step: convert the
+    published VoxCeleb1 pair lists into trials_o / trials_e / trials_h inside
+    `test_dir`, build the union wavlist of every utterance any list names,
+    filter the data dir down to that wavlist (utt2spk backed up as
+    utt2spk.bak like the reference), and fix it.  `test_dir` should be the
+    COMBINED VoxCeleb1 dev+test dir (the reference's data/voxceleb1 copy) —
+    trials_e/h reference dev-side utterances too.
+
+    Returns {'trials_o': n, 'trials_e': n, 'trials_h': n, 'kept_utts': n}
+    for whichever lists were given (at least one is required).
+    """
+    sources = {"trials_o": clean, "trials_e": extended, "trials_h": hard}
+    if not any(sources.values()):
+        raise ValueError("need at least one of clean/extended/hard")
+    counts: Dict[str, int] = {}
+    wavlist = set()
+    for name, src in sources.items():
+        if src is None:
+            continue
+        out_path = os.path.join(test_dir, name)
+        counts[name] = convert_voxceleb1_trials(src, out_path)
+        for line in open(out_path):
+            a, b, _ = line.split()
+            wavlist.add(a)
+            wavlist.add(b)
+    with open(os.path.join(test_dir, "wavlist"), "w") as f:
+        f.write("".join(f"{u}\n" for u in sorted(wavlist)))
+    dd = DataDir.load(test_dir)
+    if os.path.exists(os.path.join(test_dir, "utt2spk")):
+        os.replace(os.path.join(test_dir, "utt2spk"),
+                   os.path.join(test_dir, "utt2spk.bak"))
+    dd = dd.filter_utts(wavlist).fix()
+    missing = wavlist - set(dd["utt2spk"])
+    if missing:
+        # trial utterances absent from the prepared dir (e.g. a partial
+        # corpus download) would make every scorer raise on a missing key —
+        # surface it here, at prep time
+        print(f"WARNING: {len(missing)} trial utterances are not in "
+              f"{test_dir} (e.g. {sorted(missing)[0]})")
+    dd.save(test_dir)
+    counts["kept_utts"] = dd.num_utts
+    return counts
+
+
 def make_musan(root: str, use_vocals: bool = False) -> Dict[str, DataDir]:
     """MUSAN tree → {'music': DataDir, 'speech': ..., 'noise': ...}
     (local/make_musan.py semantics incl. vocal-music filtering)."""

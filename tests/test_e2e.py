@@ -57,6 +57,37 @@ def tiny_cfg():
     )
 
 
+def test_sharded_encode_matches_inline(tmp_path_factory):
+    """encode_workers=2 (per-shard arks + merged scp, the reference's nj
+    layout, make_fbank.sh:118-126) must decode bit-identically to the
+    single-writer path — shard membership only changes file layout."""
+    from pkr_tpu.io import read_mat
+
+    root = tmp_path_factory.mktemp("shard_enc")
+    data_dir = str(root / "data")
+    synth_corpus(data_dir)
+    one = str(root / "one")
+    two = str(root / "two")
+    recipe.run_features(data_dir, one, batch=4, dither=0.0)
+    recipe.run_features(data_dir, two, batch=4, dither=0.0, encode_workers=2)
+    scp1 = dict(l.split() for l in open(os.path.join(one, "feats.scp")))
+    scp2 = dict(l.split() for l in open(os.path.join(two, "feats.scp")))
+    assert sorted(scp1) == sorted(scp2)
+    assert {rx.split(":")[0].rsplit("/", 1)[-1]
+            for rx in scp2.values()} == {"feats.0.ark", "feats.1.ark"}
+    for u in scp1:
+        np.testing.assert_array_equal(read_mat(scp1[u]), read_mat(scp2[u]))
+    from pkr_tpu.io.kaldi_ark import read_vec_flt
+
+    vad2 = dict(l.split() for l in open(os.path.join(two, "vad.scp")))
+    vad1 = dict(l.split() for l in open(os.path.join(one, "vad.scp")))
+    for u in vad1:
+        np.testing.assert_array_equal(read_vec_flt(vad1[u]),
+                                      read_vec_flt(vad2[u]))
+    nf1 = open(os.path.join(one, "utt2num_frames")).read()
+    assert nf1 == open(os.path.join(two, "utt2num_frames")).read()
+
+
 def test_full_pipeline(tmp_path_factory, tiny_cfg):
     root = tmp_path_factory.mktemp("e2e")
     data_dir = str(root / "data")

@@ -52,6 +52,55 @@ def test_trials_conversion(tmp_path):
     assert path_to_utt("a/b/c/d.wav") == "b-c-d"
 
 
+def test_voxceleb1_trials_one_shot(tmp_path):
+    """feature_pre.sh:61-73 as one prep subcommand: three trial lists
+    converted, wavlist union built, the data dir filtered + fixed to it."""
+    from pkr_tpu.io import DataDir
+    from pkr_tpu.recipes.prep import main as prep_main
+
+    # combined VoxCeleb1 dir with one utt NO list references (u_extra)
+    utts = {f"id{i}-rec0-{j:05d}": f"id{i}"
+            for i in range(3) for j in range(2)}
+    utts["id9-rec0-99999"] = "id9"  # extra: must be filtered out
+    dd = DataDir({"utt2spk": utts,
+                  "wav.scp": {u: f"/wav/{u}.wav" for u in utts}})
+    dd.make_spk2utt().save(str(tmp_path / "test"))
+
+    (tmp_path / "clean.txt").write_text(
+        "1 id0/rec0/00000.wav id0/rec0/00001.wav\n"
+        "0 id0/rec0/00000.wav id1/rec0/00000.wav\n")
+    (tmp_path / "ext.txt").write_text(
+        "0 id1/rec0/00001.wav id2/rec0/00000.wav\n")
+    (tmp_path / "hard.txt").write_text(
+        "1 id2/rec0/00000.wav id2/rec0/00001.wav\n")
+    rc = prep_main(["voxceleb1-trials", str(tmp_path / "test"),
+                    "--clean", str(tmp_path / "clean.txt"),
+                    "--extended", str(tmp_path / "ext.txt"),
+                    "--hard", str(tmp_path / "hard.txt")])
+    assert rc == 0
+    out = DataDir.load(str(tmp_path / "test"))
+    # the union of utts named by any list — and nothing else
+    assert sorted(out["utt2spk"]) == [
+        "id0-rec0-00000", "id0-rec0-00001", "id1-rec0-00000",
+        "id1-rec0-00001", "id2-rec0-00000", "id2-rec0-00001"]
+    assert (tmp_path / "test" / "utt2spk.bak").exists()
+    wavlist = (tmp_path / "test" / "wavlist").read_text().splitlines()
+    assert wavlist == sorted(out["utt2spk"])
+    for name, n in (("trials_o", 2), ("trials_e", 1), ("trials_h", 1)):
+        lines = (tmp_path / "test" / name).read_text().splitlines()
+        assert len(lines) == n and lines[0].split()[2] in ("target",
+                                                           "nontarget")
+
+
+def test_voxceleb1_trials_requires_a_list(tmp_path):
+    import pytest
+
+    from pkr_tpu.recipes.voxceleb import prepare_voxceleb1_trials
+
+    with pytest.raises(ValueError):
+        prepare_voxceleb1_trials(str(tmp_path))
+
+
 def test_make_musan_vocal_filtering(tmp_path):
     d = tmp_path / "music" / "fma"
     d.mkdir(parents=True)

@@ -108,11 +108,12 @@ def build_rir_tree(root: str, rate: int = 16000):
 
 
 def time_stage1(data_dir: str, out_dir: str, pools, n_utts: int,
-                batch: int = 32) -> float:
+                batch: int = 32, encode_workers: int = 1) -> float:
     from pkr_tpu.recipes.run import run_features
 
     t0 = time.perf_counter()
-    run_features(data_dir, out_dir, batch=batch, pools=pools)
+    run_features(data_dir, out_dir, batch=batch, pools=pools,
+                 encode_workers=encode_workers)
     dt = time.perf_counter() - t0
     n_written = sum(1 for _ in open(os.path.join(out_dir, "feats.scp")))
     assert n_written == n_utts, (n_written, n_utts)
@@ -124,6 +125,8 @@ def main():
     ap.add_argument("--utts", type=int, default=96)
     ap.add_argument("--sec", type=float, default=4.0)
     ap.add_argument("--out", default="/tmp/pkr_stage1_bench")
+    ap.add_argument("--encode-workers", type=int, nargs="*", default=(1, 2),
+                    help="sweep of CM-encode worker counts (per-shard arks)")
     args = ap.parse_args()
 
     import jax
@@ -173,6 +176,16 @@ def main():
     print(f"rir:   {2 * args.utts} utts in {t_rir:.2f}s = {r_rir:.1f} utts/s"
           f"  (RIR-set reverb + fg/bg noises; x{r_clean / r_rir:.2f} "
           "slower per utt)")
+
+    # measured encode-worker scaling (VERDICT r4 do #4): per-shard-ark CM
+    # encode threads, the host-side half of the reference's nj fan-out.
+    # On a 1-core host this is expected ~flat; on multi-core TPU hosts it
+    # is the lever the docs' stage-1 scaling law leans on.
+    for w in args.encode_workers:
+        t_w = time_stage1(clean_dir, os.path.join(root, f"feat_ew{w}"),
+                          None, args.utts, encode_workers=w)
+        print(f"encode_workers={w}: {args.utts} utts in {t_w:.2f}s = "
+              f"{args.utts / t_w:.1f} utts/s  (cores={os.cpu_count()})")
 
 
 if __name__ == "__main__":
