@@ -336,7 +336,10 @@ def main():
     env = os.environ.get
     attempt_timeout = float(env("PKR_BENCH_ATTEMPT_TIMEOUT",
                                 "240" if quick else "600"))
-    budget = float(env("PKR_BENCH_BUDGET_S", "1500"))
+    # the driver wraps bench.py in its own (unknown) timeout; the budget
+    # keeps worst-case wall (quiet waits + attempts + sleeps) under ~18 min
+    # so our JSON line always prints before anyone else's axe falls
+    budget = float(env("PKR_BENCH_BUDGET_S", "1080"))
     max_attempts = int(env("PKR_BENCH_ATTEMPTS", "3"))
     quiet_load = float(env("PKR_BENCH_QUIET_LOAD", "0.8"))
     quiet_wait = float(env("PKR_BENCH_QUIET_WAIT", "120"))

@@ -131,6 +131,9 @@ def main():
     ap.add_argument("--out", default="/tmp/pkr_rehearsal")
     ap.add_argument("--skip-synth", action="store_true",
                     help="reuse an existing --out corpus")
+    ap.add_argument("--synth-only", action="store_true",
+                    help="build the corpus and exit before any device work "
+                         "(lets synthesis run while the TPU tunnel is busy)")
     args = ap.parse_args()
 
     from pkr_tpu.utils import enable_compile_cache
@@ -177,6 +180,10 @@ def main():
         print(f"corpus: {n_rows} train rows ({args.spk} spk), "
               f"{len(tu)} test utts ({args.test_spk} spk)  "
               f"[{times['synth']:.0f}s]")
+    if args.synth_only:
+        print("synth-only: corpus ready; rerun with --skip-synth for the "
+              "device stages")
+        return
 
     cfg = Config(
         model=dataclasses.replace(Config().model, loss="AAM"),
