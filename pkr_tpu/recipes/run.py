@@ -85,9 +85,18 @@ class _ShardedFeatWriter:
                 return
 
     def write(self, utt: str, feat, vad) -> None:
-        if self._errors:
-            raise self._errors[0]
-        self._queues[self._next].put((utt, feat, vad))
+        import queue
+
+        # bounded put + error re-check: a dead worker's queue stays full, so
+        # a plain put() would deadlock the whole stage behind it
+        while True:
+            if self._errors:
+                raise self._errors[0]
+            try:
+                self._queues[self._next].put((utt, feat, vad), timeout=5.0)
+                break
+            except queue.Full:
+                continue
         self._next = (self._next + 1) % self.n
 
     def close(self) -> None:
