@@ -303,8 +303,15 @@ def _run_attempt(quick: bool, timeout: float):
                 note = f"child exited rc={rc}"
         except subprocess.TimeoutExpired:
             proc.kill()
-            proc.wait()
-            note = f"child hung; killed after {timeout:.0f}s"
+            try:
+                # even SIGKILL can stall on a child wedged in uninterruptible
+                # (D-state) kernel sleep inside a tunnel syscall — bound the
+                # reap and abandon the corpse rather than hang the parent
+                proc.wait(timeout=30)
+                note = f"child hung; killed after {timeout:.0f}s"
+            except subprocess.TimeoutExpired:
+                note = (f"child hung; kill after {timeout:.0f}s did not reap "
+                        "in 30s (D-state) — abandoned")
         out.seek(0)
         extract = train = None
         for line in out.read().splitlines():

@@ -100,10 +100,20 @@ class _ShardedFeatWriter:
         self._next = (self._next + 1) % self.n
 
     def close(self) -> None:
-        for q in self._queues:
-            q.put(None)
+        import queue
+
+        # bounded sentinel delivery: a worker that died on error leaves its
+        # queue full — only keep trying while the thread is actually alive,
+        # else close() would hang exactly like the write() case
+        for q, t in zip(self._queues, self._threads):
+            while t.is_alive():
+                try:
+                    q.put(None, timeout=2.0)
+                    break
+                except queue.Full:
+                    continue
         for t in self._threads:
-            t.join()
+            t.join(timeout=600.0)
         for fw, vw in self._writers:
             fw.close()
             vw.close()
@@ -116,12 +126,35 @@ class _ShardedFeatWriter:
                     out.write(open(shard).read())
                     os.remove(shard)
 
+    def abort(self) -> None:
+        """Best-effort shutdown for the error path: wake workers, join
+        briefly, close file handles — no scp merge, no error re-raise (the
+        caller already has its own exception in flight)."""
+        import queue
+
+        for q, t in zip(self._queues, self._threads):
+            if t.is_alive():
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass
+        for t in self._threads:
+            t.join(timeout=5.0)
+        for fw, vw in self._writers:
+            try:
+                fw.close()
+                vw.close()
+            except Exception:
+                pass
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         if not exc[0]:
             self.close()
+        else:
+            self.abort()
 
 
 def run_features(data_dir: str, out_dir: str, batch: int = 32,

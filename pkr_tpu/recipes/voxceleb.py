@@ -121,9 +121,14 @@ def prepare_voxceleb1_trials(test_dir: str,
     with open(os.path.join(test_dir, "wavlist"), "w") as f:
         f.write("".join(f"{u}\n" for u in sorted(wavlist)))
     dd = DataDir.load(test_dir)
-    if os.path.exists(os.path.join(test_dir, "utt2spk")):
-        os.replace(os.path.join(test_dir, "utt2spk"),
-                   os.path.join(test_dir, "utt2spk.bak"))
+    bak = os.path.join(test_dir, "utt2spk.bak")
+    if os.path.exists(os.path.join(test_dir, "utt2spk")) and \
+            not os.path.exists(bak):
+        # first run only: the backup is the PRE-filter map — a re-run must
+        # not clobber it with the already-filtered table (the dir itself is
+        # filtered in place, so a broader trial list needs a re-prepared dir
+        # either way; the missing-utterance warning below flags that case)
+        os.replace(os.path.join(test_dir, "utt2spk"), bak)
     dd = dd.filter_utts(wavlist).fix()
     missing = wavlist - set(dd["utt2spk"])
     if missing:

@@ -92,6 +92,26 @@ def test_voxceleb1_trials_one_shot(tmp_path):
                                                            "nontarget")
 
 
+def test_voxceleb1_trials_rerun_keeps_original_backup(tmp_path):
+    """Re-running must not clobber utt2spk.bak (the pre-filter map) with
+    the already-filtered table."""
+    from pkr_tpu.io import DataDir
+    from pkr_tpu.recipes.voxceleb import prepare_voxceleb1_trials
+
+    utts = {f"id{i}-rec0-0000{j}": f"id{i}"
+            for i in range(2) for j in range(2)}
+    DataDir({"utt2spk": utts,
+             "wav.scp": {u: f"/w/{u}.wav" for u in utts}}
+            ).make_spk2utt().save(str(tmp_path))
+    lst = tmp_path / "clean.txt"
+    lst.write_text("1 id0/rec0/00000.wav id0/rec0/00001.wav\n")
+    prepare_voxceleb1_trials(str(tmp_path), clean=str(lst))
+    bak_first = (tmp_path / "utt2spk.bak").read_text()
+    assert len(bak_first.splitlines()) == 4  # the full pre-filter map
+    prepare_voxceleb1_trials(str(tmp_path), clean=str(lst))
+    assert (tmp_path / "utt2spk.bak").read_text() == bak_first
+
+
 def test_voxceleb1_trials_requires_a_list(tmp_path):
     import pytest
 

@@ -125,7 +125,7 @@ def main():
     ap.add_argument("--utts", type=int, default=96)
     ap.add_argument("--sec", type=float, default=4.0)
     ap.add_argument("--out", default="/tmp/pkr_stage1_bench")
-    ap.add_argument("--encode-workers", type=int, nargs="*", default=(1, 2),
+    ap.add_argument("--encode-workers", type=int, nargs="+", default=(1, 2),
                     help="sweep of CM-encode worker counts (per-shard arks)")
     args = ap.parse_args()
 
