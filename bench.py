@@ -26,11 +26,15 @@ Env knobs (all optional; tests use them to fake hangs):
   PKR_BENCH_QUIET_LOAD       1-min loadavg threshold for a quiet window
   PKR_BENCH_QUIET_WAIT       max seconds to wait for a quiet window
   PKR_BENCH_RETRY_SLEEP      sleep between attempts
+  PKR_BENCH_QUIET_PIDS       pid-registry file of heavy host processes to
+                             SIGSTOP around each TPU attempt (default
+                             /tmp/quiet_stop.pids; missing file = no-op)
 """
 
 import json
 import os
 import shlex
+import signal
 import subprocess
 import sys
 import tempfile
@@ -289,6 +293,42 @@ def _wait_quiet(max_wait: float, threshold: float) -> float:
     return time.time() - t0
 
 
+def _quiesce_pids():
+    """Best-effort SIGSTOP of registered heavy host processes (background
+    studies etc.) for the duration of a TPU attempt: the single-core tunnel
+    drops requests under load, so a loaded host false-fails the bench.  The
+    registry is one pid per line (the same file the round's tunnel watchdog
+    uses); a missing/empty file is a no-op.  Returns the pids stopped so the
+    caller can resume exactly those."""
+    path = os.environ.get("PKR_BENCH_QUIET_PIDS", "/tmp/quiet_stop.pids")
+    stopped = []
+    try:
+        lines = open(path).read().split()
+    except OSError:
+        return stopped
+    for tok in lines:
+        try:
+            pid = int(tok)
+        except ValueError:
+            continue
+        if pid in (os.getpid(), os.getppid()):
+            continue
+        try:
+            os.kill(pid, signal.SIGSTOP)
+            stopped.append(pid)
+        except (OSError, ProcessLookupError):
+            pass
+    return stopped
+
+
+def _resume_pids(pids) -> None:
+    for pid in pids:
+        try:
+            os.kill(pid, signal.SIGCONT)
+        except (OSError, ProcessLookupError):
+            pass
+
+
 def _run_attempt(quick: bool, timeout: float):
     """One watchdog-bounded child run.  Returns (extract_rates|None,
     train_dict|None, note:str).  The child is SIGKILLed on expiry — a jax
@@ -358,14 +398,21 @@ def main():
     notes = []
     attempts = 0
     for attempt in range(1, max_attempts + 1):
-        _wait_quiet(min(quiet_wait, max(0.0, deadline - time.time())),
-                    quiet_load)
-        # the first attempt always gets the full timeout; later ones are
-        # clipped to the remaining budget so the driver's own timeout can
-        # never fire before we print our JSON line
-        t = attempt_timeout if attempt == 1 else \
-            min(attempt_timeout, max(10.0, deadline - time.time()))
-        extract, train, note = _run_attempt(quick, t)
+        # quiesce registered heavy processes FIRST so the load threshold
+        # below is actually reachable (re-issued every attempt: an external
+        # supervisor may CONT long-stopped processes)
+        quiesced = _quiesce_pids()
+        try:
+            _wait_quiet(min(quiet_wait, max(0.0, deadline - time.time())),
+                        quiet_load)
+            # the first attempt always gets the full timeout; later ones are
+            # clipped to the remaining budget so the driver's own timeout can
+            # never fire before we print our JSON line
+            t = attempt_timeout if attempt == 1 else \
+                min(attempt_timeout, max(10.0, deadline - time.time()))
+            extract, train, note = _run_attempt(quick, t)
+        finally:
+            _resume_pids(quiesced)
         attempts = attempt
         notes.append(f"attempt {attempt}: {note}")
         if extract is not None:

@@ -25,6 +25,8 @@ def _run_bench(extra_env, timeout=120):
         "PKR_BENCH_ATTEMPTS": "2",
         "PKR_BENCH_QUIET_WAIT": "0",
         "PKR_BENCH_RETRY_SLEEP": "0",
+        # hermetic: never touch the host's real pid registry from tests
+        "PKR_BENCH_QUIET_PIDS": "/nonexistent/quiet.pids",
         **extra_env,
     })
     out = subprocess.run([sys.executable, BENCH, "--quick"], env=env,
@@ -91,6 +93,36 @@ def test_bench_failing_then_ok_child_retries(tmp_path):
     res = _run_bench({"PKR_BENCH_CHILD": f"{sys.executable} {script}"})
     assert res["value"] == 80.0 and res["bench_attempts"] == 2
     assert "rc=1" in res["bench_notes"]
+
+
+def test_bench_quiesces_registered_pids(tmp_path):
+    """Pids in the registry are SIGSTOPped for the duration of a TPU attempt
+    and SIGCONTed after: a loaded single-core host destabilizes the tunnel,
+    so the bench must run in a forced-quiet window.  The child itself checks
+    the sleeper's /proc state mid-attempt."""
+    sleeper = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(120)"])
+    pidfile = tmp_path / "quiet.pids"
+    pidfile.write_text(f"{sleeper.pid}\n")
+
+    def state():
+        raw = open(f"/proc/{sleeper.pid}/stat").read()
+        return raw.rsplit(")", 1)[1].split()[0]
+
+    snippet = (f"st = open('/proc/{sleeper.pid}/stat').read()"
+               ".rsplit(')', 1)[1].split()[0]; "
+               "print('PKR_EXTRACT [100.0]' if st == 'T' "
+               "else 'PKR_EXTRACT [0.0]', flush=True)")
+    try:
+        res = _run_bench({
+            "PKR_BENCH_CHILD": f'{sys.executable} -c "{snippet}"',
+            "PKR_BENCH_QUIET_PIDS": str(pidfile),
+        })
+        assert res["value"] == 100.0  # sleeper was stopped mid-attempt
+        assert state() in ("S", "R")  # and resumed afterwards
+    finally:
+        sleeper.kill()
+        sleeper.wait()
 
 
 def test_dryrun_survives_hanging_probe(monkeypatch):
