@@ -196,6 +196,137 @@ def test_plda_scoring_matches_kaldi_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
 
 
+def _rand_spd(rng, d, scale):
+    a = rng.standard_normal((d, d))
+    return (a @ a.T / d + 0.3 * np.eye(d)) * scale
+
+
+def _generative_corpus(rng, mu, phi_b, phi_w, n_spk):
+    """Draw x = mu + v + e with KNOWN full covariances: v ~ N(0, phi_b),
+    e ~ N(0, phi_w); unbalanced utterance counts per speaker."""
+    d = len(mu)
+    Lb, Lw = np.linalg.cholesky(phi_b), np.linalg.cholesky(phi_w)
+    vecs, utt2spk = {}, {}
+    for i in range(n_spk):
+        v = Lb @ rng.standard_normal(d)
+        for j in range(10 + (i % 11)):
+            u = f"s{i}-u{j}"
+            vecs[u] = mu + v + Lw @ rng.standard_normal(d)
+            utt2spk[u] = f"s{i}"
+    return vecs, utt2spk
+
+
+def _implied_covariances(model):
+    """Invert the diagonalization contract: T phi_w T' = I, T phi_b T' =
+    diag(psi)  =>  phi_w = T^-1 T^-T, phi_b = T^-1 diag(psi) T^-T."""
+    Tinv = np.linalg.inv(model.transform)
+    return Tinv @ np.diag(model.psi) @ Tinv.T, Tinv @ Tinv.T
+
+
+def _marginal_loglik(vecs, utt2spk, model):
+    """Exact marginal log-likelihood (up to a model-independent constant) of
+    the corpus under (mean, phi_b, phi_w): per speaker, deviations from the
+    group mean are N(0, phi_w) in the (n-1)-dim complement and the group
+    mean is N(0, phi_b + phi_w/n)."""
+    phi_b, phi_w = _implied_covariances(model)
+    by = {}
+    for k, v in vecs.items():
+        by.setdefault(utt2spk[k], []).append(v)
+    tot = 0.0
+    for xs in by.values():
+        X = np.stack(xs) - model.mean
+        n = len(X)
+        xbar = X.mean(axis=0)
+        S = (X - xbar).T @ (X - xbar)
+        C = phi_b + phi_w / n
+        tot += -0.5 * ((n - 1) * np.linalg.slogdet(phi_w)[1]
+                       + np.trace(np.linalg.solve(phi_w, S))
+                       + np.linalg.slogdet(C)[1]
+                       + xbar @ np.linalg.solve(C, xbar))
+    return tot
+
+
+def test_plda_em_recovers_generative_model():
+    """First-principles check, independent of the plda.cc transcription
+    oracle (VERDICT r4 weak #5): on data drawn from a KNOWN two-covariance
+    model with full (non-diagonal) covariances and unbalanced speakers, the
+    estimator's implied (phi_b, phi_w, mean) converge to the truth within
+    sampling error (K=300 speakers => ~sqrt(2/K) ~ 8% relative on phi_b)."""
+    rng = np.random.default_rng(42)
+    d, n_spk = 6, 300
+    mu = rng.standard_normal(d) * 3.0
+    phi_b = _rand_spd(rng, d, 2.0)
+    phi_w = _rand_spd(rng, d, 1.0)
+    vecs, utt2spk = _generative_corpus(rng, mu, phi_b, phi_w, n_spk)
+    model = train_plda(vecs, utt2spk, n_iters=30)
+    phi_b_est, phi_w_est = _implied_covariances(model)
+    assert (np.linalg.norm(phi_b_est - phi_b)
+            / np.linalg.norm(phi_b)) < 0.25          # measured 0.124
+    assert (np.linalg.norm(phi_w_est - phi_w)
+            / np.linalg.norm(phi_w)) < 0.10          # measured 0.034
+    assert np.abs(model.mean - mu).max() < 0.5       # measured 0.186
+    assert (model.psi > 0).all()
+
+
+def test_plda_em_monotone_marginal_likelihood():
+    """EM guarantee, checked against an exact likelihood computed from first
+    principles (NOT via the oracle): each additional EM iteration must not
+    decrease the corpus marginal log-likelihood of the implied model."""
+    rng = np.random.default_rng(7)
+    d, n_spk = 5, 60
+    mu = rng.standard_normal(d)
+    phi_b = _rand_spd(rng, d, 1.5)
+    phi_w = _rand_spd(rng, d, 1.0)
+    vecs, utt2spk = _generative_corpus(rng, mu, phi_b, phi_w, n_spk)
+    lls = [_marginal_loglik(vecs, utt2spk,
+                            train_plda(vecs, utt2spk, n_iters=k))
+           for k in (1, 2, 3, 5, 8, 12)]
+    diffs = np.diff(lls)
+    assert (diffs >= -1e-6).all(), lls
+
+
+def test_plda_llr_matches_closed_form_gaussian():
+    """The scoring LLR equals the closed-form Gaussian log-likelihood ratio
+    computed with full joint covariance matrices — log N([e;t]; 0, [[P+I/n,
+    P],[P, P+I]]) - log N(e; 0, P+I/n) - log N(t; 0, P+I) in the
+    diagonalized space (P = diag(psi)) — for arbitrary psi/transform and
+    multi-utterance enrollment.  No EM, no oracle: pure probability."""
+    rng = np.random.default_rng(3)
+    d = 6
+    psi = np.abs(rng.standard_normal(d)) * 2 + 0.1
+    model = PldaModel(mean=rng.standard_normal(d),
+                      transform=rng.standard_normal((d, d)) + 2 * np.eye(d),
+                      psi=psi)
+    enroll = {f"e{i}": rng.standard_normal(d) * 2 for i in range(4)}
+    test = {f"t{j}": rng.standard_normal(d) * 2 for j in range(5)}
+    counts = {"e0": 1, "e1": 2, "e2": 5, "e3": 1}
+    trials = [(a, b) for a in enroll for b in test]
+    got = plda_scores(model, enroll, test, trials, enroll_counts=counts)
+
+    def logpdf(x, cov):
+        return -0.5 * (len(x) * np.log(2 * np.pi)
+                       + np.linalg.slogdet(cov)[1]
+                       + x @ np.linalg.solve(cov, x))
+
+    # the same per-vector normalization plda_scores applies (itself
+    # oracle-tested in test_transform_vec_normalization_factor_oracle)
+    ncounts = np.asarray([counts[k] for k in enroll], float)
+    E = model.transform_vec(np.stack(list(enroll.values())),
+                            num_examples=ncounts)
+    Tv = model.transform_vec(np.stack(list(test.values())),
+                             num_examples=np.ones(len(test)))
+    I, P = np.eye(d), np.diag(psi)
+    want = []
+    for i, a in enumerate(enroll):
+        n = counts[a]
+        for j in range(len(test)):
+            z = np.concatenate([E[i], Tv[j]])
+            joint = np.block([[P + I / n, P], [P, P + I]])
+            want.append(logpdf(z, joint) - logpdf(E[i], P + I / n)
+                        - logpdf(Tv[j], P + I))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-9)
+
+
 def test_lda_matches_kaldi_oracle():
     """compute_lda equals ivector-compute-lda's ComputeLdaTransform (eig
     whitening with covariance floor, between-var rotation, top-dim rows) for
