@@ -255,3 +255,28 @@ def test_native_compress_bit_identical():
         assert dec.shape == m.shape
         span = float(m.max() - m.min()) or 1.0
         assert np.abs(dec - m).max() <= span / 50.0 + 1e-6
+
+
+def test_native_compress_rejects_non_finite():
+    """NaN/Inf input breaks nth_element's ordering contract and makes the
+    float→uint casts UB in C++, while the numpy codec degrades
+    deterministically — so the native encoder must REFUSE (return None via
+    a negative rc) and compress_matrix must fall back to the python bytes."""
+    from pkr_tpu.io import kaldi_ark
+    from pkr_tpu.io.native import get_lib, native_compress
+
+    if get_lib() is None or getattr(get_lib(), "pkr_compress_matrix",
+                                    None) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    for bad in (np.nan, np.inf, -np.inf):
+        m = rng.standard_normal((60, 8)).astype(np.float32)
+        m[17, 3] = bad
+        for method in (1, 2, 3):
+            assert native_compress(m, method) is None
+            # the public entry point silently uses the python path instead
+            assert (kaldi_ark.compress_matrix(m, method=method,
+                                              use_native=True)
+                    == kaldi_ark.compress_matrix(m, method=method))
