@@ -80,6 +80,34 @@ def test_min_dcf_bit_parity(p):
     assert thr == rthr
 
 
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_eer_min_dcf_match_sklearn_roc(seed):
+    """Independent cross-check, no transcription involved: for DISTINCT
+    scores our EER and minDCF equal the same functionals computed from
+    sklearn's roc_curve (drop_intermediate=False).  Scoped to distinct
+    scores on purpose — on ties the reference's per-sample threshold sweep
+    (compute_eer.py:35-104) deliberately visits intermediate points inside
+    a tie block that a distinct-threshold ROC never produces, and that
+    reference convention is the bit-parity target."""
+    sklearn = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(seed)
+    n = 4000
+    labels = (rng.random(n) < 0.3).astype(int)
+    scores = rng.standard_normal(n) + 1.5 * labels  # continuous: no ties
+    assert len(np.unique(scores)) == n
+    fpr, tpr, _ = sklearn.roc_curve(labels, scores, drop_intermediate=False)
+    fnr = 1.0 - tpr
+    i = int(np.nanargmin(np.abs(fnr - fpr)))
+    # atol: sklearn forms fnr as 1-tpr (tps/tps[-1]) vs our cumsum ratio —
+    # same value up to the last ulp of a different rounding path
+    np.testing.assert_allclose(compute_eer(scores.tolist(), labels.tolist()),
+                               max(fpr[i], fnr[i]), rtol=0, atol=1e-12)
+    for p in (0.01, 0.05):
+        dcf = (fnr * p + fpr * (1.0 - p)) / min(p, 1.0 - p)
+        got, _ = compute_min_dcf(scores.tolist(), labels.tolist(), p)
+        np.testing.assert_allclose(got, dcf.min(), rtol=0, atol=1e-12)
+
+
 def test_error_rates_match_oracle():
     scores, labels = synth_scores(300, seed=2)
     fnrs, fprs, thr = compute_error_rates(scores, labels)
