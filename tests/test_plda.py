@@ -327,6 +327,46 @@ def test_plda_llr_matches_closed_form_gaussian():
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-9)
 
 
+def test_lda_matches_scipy_generalized_eig():
+    """Independent of the ivector-compute-lda transcription: at
+    total_covariance_factor=0.0 (run.sh:332) with the floor inactive, the
+    whiten-then-rotate construction IS the textbook Fisher LDA — its rows
+    must equal (up to sign) the top generalized eigenvectors of the
+    (between, within) covariance pencil from scipy.linalg.eigh(Sb, Sw),
+    which are Sw-orthonormal exactly like whitened directions."""
+    scipy_linalg = pytest.importorskip("scipy.linalg")
+    rng = np.random.default_rng(5)
+    d, n_spk, out_dim = 10, 40, 5
+    vecs, utt2spk = {}, {}
+    for i in range(n_spk):
+        mu = rng.standard_normal(d) * 2.0
+        for j in range(3 + (i % 4)):
+            u = f"s{i}-u{j}"
+            vecs[u] = mu + rng.standard_normal(d)
+            utt2spk[u] = f"s{i}"
+    keys = list(vecs)
+    X = np.stack([vecs[k] for k in keys])
+    Xc = X - X.mean(0)
+    by = {}
+    for i, k in enumerate(keys):
+        by.setdefault(utt2spk[k], []).append(i)
+    Sb = np.zeros((d, d))
+    for idx in by.values():
+        m = Xc[idx].mean(0)
+        Sb += len(idx) * np.outer(m, m)
+    Sb /= len(keys)
+    Sw = Xc.T @ Xc / len(keys) - Sb
+
+    lda = compute_lda(vecs, utt2spk, dim=out_dim, total_covariance_factor=0.0)
+    evals, evecs = scipy_linalg.eigh(Sb, Sw)
+    order = np.argsort(evals)[::-1]
+    W = evecs[:, order[:out_dim]].T
+    got = np.asarray(lda.matrix)
+    for i in range(out_dim):
+        s = np.sign(got[i] @ W[i])
+        np.testing.assert_allclose(got[i], s * W[i], rtol=0, atol=1e-10)
+
+
 def test_lda_matches_kaldi_oracle():
     """compute_lda equals ivector-compute-lda's ComputeLdaTransform (eig
     whitening with covariance floor, between-var rotation, top-dim rows) for
