@@ -298,11 +298,17 @@ def _quiesce_pids():
     studies etc.) for the duration of a TPU attempt: the single-core tunnel
     drops requests under load, so a loaded host false-fails the bench.  The
     registry is one pid per line (the same file the round's tunnel watchdog
-    uses); a missing/empty file is a no-op.  Returns the pids stopped so the
-    caller can resume exactly those."""
+    uses); a missing/empty file is a no-op, and so is a registry older than
+    24h (a stale file from a previous session could name reused pids of
+    unrelated processes).  Returns the pids stopped so the caller can
+    resume exactly those.  Idempotent — callers re-issue it DURING long
+    attempts because an external supervisor on some hosts SIGCONTs
+    processes that stay stopped for minutes."""
     path = os.environ.get("PKR_BENCH_QUIET_PIDS", "/tmp/quiet_stop.pids")
     stopped = []
     try:
+        if time.time() - os.path.getmtime(path) > 86400:
+            return stopped
         lines = open(path).read().split()
     except OSError:
         return stopped
@@ -329,19 +335,31 @@ def _resume_pids(pids) -> None:
             pass
 
 
-def _run_attempt(quick: bool, timeout: float):
+def _run_attempt(quick: bool, timeout: float, keep_quiet=None):
     """One watchdog-bounded child run.  Returns (extract_rates|None,
     train_dict|None, note:str).  The child is SIGKILLed on expiry — a jax
-    process wedged on the tunnel ignores anything gentler."""
+    process wedged on the tunnel ignores anything gentler.  keep_quiet, if
+    given, is re-invoked every ~20s while waiting: supervisors on some
+    hosts SIGCONT processes that stay stopped for minutes, so a one-shot
+    quiesce would collapse partway through a long attempt."""
     with tempfile.NamedTemporaryFile("w+", suffix=".bench") as out:
         proc = subprocess.Popen(_child_cmd(quick), stdout=out,
                                 cwd=os.path.dirname(os.path.abspath(__file__)))
         note = "ok"
-        try:
-            rc = proc.wait(timeout=timeout)
-            if rc != 0:
-                note = f"child exited rc={rc}"
-        except subprocess.TimeoutExpired:
+        deadline = time.time() + timeout
+        rc = None
+        while True:
+            try:
+                rc = proc.wait(timeout=min(20.0, max(0.1,
+                                                     deadline - time.time())))
+                if rc != 0:
+                    note = f"child exited rc={rc}"
+                break
+            except subprocess.TimeoutExpired:
+                if time.time() < deadline:
+                    if keep_quiet is not None:
+                        keep_quiet()
+                    continue
             proc.kill()
             try:
                 # even SIGKILL can stall on a child wedged in uninterruptible
@@ -352,13 +370,24 @@ def _run_attempt(quick: bool, timeout: float):
             except subprocess.TimeoutExpired:
                 note = (f"child hung; kill after {timeout:.0f}s did not reap "
                         "in 30s (D-state) — abandoned")
+            break
         out.seek(0)
         extract = train = None
         for line in out.read().splitlines():
-            if line.startswith("PKR_EXTRACT "):
-                extract = json.loads(line[len("PKR_EXTRACT "):])
-            elif line.startswith("PKR_TRAIN "):
-                train = json.loads(line[len("PKR_TRAIN "):])
+            # malformed tagged output (override child, line truncated by a
+            # full disk) must degrade to a note, never crash the parent —
+            # the whole module exists to ALWAYS print one JSON line
+            try:
+                if line.startswith("PKR_EXTRACT "):
+                    extract = json.loads(line[len("PKR_EXTRACT "):])
+                elif line.startswith("PKR_TRAIN "):
+                    train = json.loads(line[len("PKR_TRAIN "):])
+            except (json.JSONDecodeError, ValueError):
+                note = f"unparseable tagged line: {line[:60]!r}"
+        if rc == 0 and extract is None and note == "ok":
+            # an 'ok' note with no data would make the final error field
+            # read 'attempt 1: ok' — actively misleading
+            note = "child exited rc=0 without tagged output"
         return extract, train, note
 
 
@@ -410,7 +439,9 @@ def main():
             # never fire before we print our JSON line
             t = attempt_timeout if attempt == 1 else \
                 min(attempt_timeout, max(10.0, deadline - time.time()))
-            extract, train, note = _run_attempt(quick, t)
+            extract, train, note = _run_attempt(
+                quick, t, keep_quiet=lambda: quiesced.extend(
+                    p for p in _quiesce_pids() if p not in quiesced))
         finally:
             _resume_pids(quiesced)
         attempts = attempt

@@ -114,6 +114,14 @@ class _ShardedFeatWriter:
                     continue
         for t in self._threads:
             t.join(timeout=600.0)
+        # a join that timed out leaves a worker mid-write: closing/merging
+        # under it would emit a truncated ark that LOOKS complete — fail
+        # loudly instead
+        stuck = sum(t.is_alive() for t in self._threads)
+        if stuck:
+            raise RuntimeError(
+                f"{stuck} encode worker(s) still running after 600s join — "
+                "refusing to merge possibly-truncated shard arks")
         for fw, vw in self._writers:
             fw.close()
             vw.close()

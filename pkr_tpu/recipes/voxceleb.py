@@ -121,14 +121,22 @@ def prepare_voxceleb1_trials(test_dir: str,
     with open(os.path.join(test_dir, "wavlist"), "w") as f:
         f.write("".join(f"{u}\n" for u in sorted(wavlist)))
     dd = DataDir.load(test_dir)
+    if "utt2spk" not in dd:
+        raise ValueError(
+            f"{test_dir} has no utt2spk — not a prepared data dir "
+            "(if utt2spk.bak exists, a previous prep crashed mid-save; "
+            "restore the backup and re-run)")
     bak = os.path.join(test_dir, "utt2spk.bak")
-    if os.path.exists(os.path.join(test_dir, "utt2spk")) and \
-            not os.path.exists(bak):
+    if not os.path.exists(bak):
         # first run only: the backup is the PRE-filter map — a re-run must
         # not clobber it with the already-filtered table (the dir itself is
         # filtered in place, so a broader trial list needs a re-prepared dir
-        # either way; the missing-utterance warning below flags that case)
-        os.replace(os.path.join(test_dir, "utt2spk"), bak)
+        # either way; the missing-utterance warning below flags that case).
+        # COPY rather than move: a failure between here and dd.save() must
+        # leave the dir loadable, not brick it with a missing utt2spk
+        import shutil
+
+        shutil.copyfile(os.path.join(test_dir, "utt2spk"), bak)
     dd = dd.filter_utts(wavlist).fix()
     missing = wavlist - set(dd["utt2spk"])
     if missing:
