@@ -131,6 +131,11 @@ def main():
     ap.add_argument("--out", default="/tmp/pkr_rehearsal")
     ap.add_argument("--skip-synth", action="store_true",
                     help="reuse an existing --out corpus")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages already recorded in "
+                         "rehearsal_times.json — lets an unattended retry "
+                         "continue after a mid-run tunnel failure instead "
+                         "of redoing completed device stages")
     ap.add_argument("--synth-only", action="store_true",
                     help="build the corpus and exit before any device work "
                          "(lets synthesis run while the TPU tunnel is busy)")
@@ -151,7 +156,17 @@ def main():
     test_data = os.path.join(root, "data_test")
     musan = os.path.join(root, "musan")
     rir = os.path.join(root, "RIRS_NOISES")
+    times_path = os.path.join(root, "rehearsal_times.json")
     times = {}
+    if args.resume and os.path.exists(times_path):
+        times = json.load(open(times_path))
+        print(f"resume: {sorted(times)} already done")
+
+    def record(key, dt):
+        times[key] = dt
+        with open(times_path + ".tmp", "w") as f:
+            json.dump(times, f)
+        os.replace(times_path + ".tmp", times_path)
 
     if not args.skip_synth:
         t0 = time.perf_counter()
@@ -175,7 +190,7 @@ def main():
                 for b in tu[i + 1:]:
                     kind = "target" if u2s[a] == u2s[b] else "nontarget"
                     f.write(f"{a} {b} {kind}\n")
-        times["synth"] = time.perf_counter() - t0
+        record("synth", time.perf_counter() - t0)
         n_rows = len(aug["utt2spk"])
         print(f"corpus: {n_rows} train rows ({args.spk} spk), "
               f"{len(tu)} test utts ({args.test_spk} spk)  "
@@ -206,11 +221,15 @@ def main():
               "--trials", os.path.join(root, "trials"),
               "--exp-dir", exp, "--musan-dir", musan, "--rir-dir", rir]
     for stage in range(7):
+        if args.resume and f"stage{stage}" in times:
+            print(f"  stage {stage}: done in a previous attempt "
+                  f"({times[f'stage{stage}']:.1f}s) — skipped")
+            continue
         t0 = time.perf_counter()
         rc = run_main(common + ["--stage", str(stage),
                                 "--stop-stage", str(stage)])
         assert rc == 0, (stage, rc)
-        times[f"stage{stage}"] = time.perf_counter() - t0
+        record(f"stage{stage}", time.perf_counter() - t0)
         print(f"  stage {stage}: {times[f'stage{stage}']:.1f}s  "
               f"peak_hbm={peak_hbm_gb()}GB")
 
@@ -223,13 +242,18 @@ def main():
         cfg.train, flash_aam=True))
     cfgf_path = os.path.join(root, "cfg_flash.json")
     open(cfgf_path, "w").write(cfg_f.to_json())
-    t0 = time.perf_counter()
-    rc = run_main(["--config", cfgf_path, "--data-dir", data,
-                   "--exp-dir", exp_f, "--stage", "3", "--stop-stage", "3"])
-    assert rc == 0
-    times["stage3_flash"] = time.perf_counter() - t0
-    print(f"  stage 3 (flash): {times['stage3_flash']:.1f}s  "
-          f"peak_hbm={peak_hbm_gb()}GB")
+    if args.resume and "stage3_flash" in times:
+        print(f"  stage 3 (flash): done in a previous attempt "
+              f"({times['stage3_flash']:.1f}s) — skipped")
+    else:
+        t0 = time.perf_counter()
+        rc = run_main(["--config", cfgf_path, "--data-dir", data,
+                       "--exp-dir", exp_f, "--stage", "3",
+                       "--stop-stage", "3"])
+        assert rc == 0
+        record("stage3_flash", time.perf_counter() - t0)
+        print(f"  stage 3 (flash): {times['stage3_flash']:.1f}s  "
+              f"peak_hbm={peak_hbm_gb()}GB")
 
     rot = os.path.join(exp, "feats", "stage1_metrics.jsonl")
     rotation = (open(rot).read().strip() if os.path.exists(rot) else "n/a")
