@@ -17,11 +17,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _run_bench(extra_env, timeout=120):
+def _run_bench(extra_env, timeout=240):
     env = dict(os.environ)
     env.update({
-        "PKR_BENCH_ATTEMPT_TIMEOUT": "3",
-        "PKR_BENCH_BUDGET_S": "20",
+        # generous vs. the fake children's instant prints: on a loaded
+        # single-core host even interpreter startup can take seconds, and a
+        # timeout that fires before a HEALTHY child prints turns every test
+        # below into a false hang (observed at 3s under a corpus rehearsal)
+        "PKR_BENCH_ATTEMPT_TIMEOUT": "20",
+        "PKR_BENCH_BUDGET_S": "120",
         "PKR_BENCH_ATTEMPTS": "2",
         "PKR_BENCH_QUIET_WAIT": "0",
         "PKR_BENCH_RETRY_SLEEP": "0",
