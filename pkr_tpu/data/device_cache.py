@@ -70,6 +70,40 @@ def dequantize(codes: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(c <= 64.0, low, jnp.where(c <= 192.0, mid, high))
 
 
+@functools.partial(jax.jit, static_argnames=("seq_len",))
+def _sample_cache(codes, pct, offsets, rows, utt_ids, key, seq_len: int):
+    """Crop-sample kernel with the cache buffers as jit ARGUMENTS.
+
+    They must never be closed over (the pre-round-5 version jitted a method
+    with self static): tracing then embeds the whole corpus buffer in the
+    program as a constant, and at 100k utterances that is a ~1.4 GB HLO —
+    the corpus rehearsal's stage 3 wedged this environment's remote-compile
+    service for 30 minutes and died on a broken pipe.  As arguments the
+    buffers are runtime parameters, the program is a few KB, and rebuilding
+    the cache object no longer retriggers compilation."""
+    r = rows[utt_ids]
+    starts = offsets[utt_ids] + (
+        jax.random.uniform(key, utt_ids.shape)
+        * jnp.maximum(r - seq_len + 1, 1)).astype(jnp.int32)
+
+    def crop(start, rr):
+        c = jax.lax.dynamic_slice(
+            codes, (start, 0), (seq_len, codes.shape[1]))
+        # utterances shorter than seq_len: cyclic tiling WITHIN the
+        # crop (t -> t mod rows), matching the host loader
+        # (data/loader.py cyclic tiling) instead of reading the next
+        # utterance's rows.  For rows >= seq_len the index is the
+        # identity; the gather runs over the tiny (seq_len, F) crop
+        # block, not the corpus buffer, so it stays cheap.
+        idx = jnp.arange(seq_len, dtype=jnp.int32) % jnp.maximum(rr, 1)
+        return jnp.take_along_axis(c, idx[:, None], axis=0)
+
+    cropped = jax.vmap(crop)(starts, r)  # (B, seq_len, F)
+    feats = dequantize(cropped, pct[utt_ids])
+    # (B, F, T) layout, like the host loader
+    return jnp.transpose(feats, (0, 2, 1))
+
+
 class DeviceFeatureCache:
     """Quantized corpus in device memory with on-device crop sampling."""
 
@@ -118,30 +152,6 @@ class DeviceFeatureCache:
     def nbytes(self) -> int:
         return int(self.codes.size + self.pct.size * 4)
 
-    @functools.partial(jax.jit, static_argnames=("self", "seq_len"))
-    def _sample(self, utt_ids: jnp.ndarray, key: jax.Array, seq_len: int):
-        rows = self.rows[utt_ids]
-        starts = self.offsets[utt_ids] + (
-            jax.random.uniform(key, utt_ids.shape)
-            * jnp.maximum(rows - seq_len + 1, 1)).astype(jnp.int32)
-
-        def crop(start, r):
-            c = jax.lax.dynamic_slice(
-                self.codes, (start, 0), (seq_len, self.codes.shape[1]))
-            # utterances shorter than seq_len: cyclic tiling WITHIN the
-            # crop (t -> t mod rows), matching the host loader
-            # (data/loader.py cyclic tiling) instead of reading the next
-            # utterance's rows.  For rows >= seq_len the index is the
-            # identity; the gather runs over the tiny (seq_len, F) crop
-            # block, not the corpus buffer, so it stays cheap.
-            idx = jnp.arange(seq_len, dtype=jnp.int32) % jnp.maximum(r, 1)
-            return jnp.take_along_axis(c, idx[:, None], axis=0)
-
-        codes = jax.vmap(crop)(starts, rows)  # (B, seq_len, F)
-        feats = dequantize(codes, self.pct[utt_ids])
-        # (B, F, T) layout, like the host loader
-        return jnp.transpose(feats, (0, 2, 1))
-
     def sample_batch(self, utt_ids, key, seq_len: int
                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Random seq_len crops of the given utterances, decoded on device.
@@ -153,7 +163,8 @@ class DeviceFeatureCache:
         """
         assert seq_len <= _CROP_PAD, (seq_len, _CROP_PAD)
         utt_ids = jnp.asarray(utt_ids, jnp.int32)
-        feats = self._sample(utt_ids, key, seq_len)
+        feats = _sample_cache(self.codes, self.pct, self.offsets, self.rows,
+                              utt_ids, key, seq_len)
         labels = None if self.labels is None else self.labels[utt_ids]
         return feats, labels
 

@@ -253,3 +253,26 @@ def test_sharded_short_utterances_tile_cyclically():
         want_full = np.asarray(dequantize(jnp.asarray(c), jnp.asarray(p)))
         want = want_full[np.arange(seq_len) % len(mat)]
         np.testing.assert_allclose(feats[b].T, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sample_kernel_takes_buffers_as_arguments():
+    """The crop-sample kernel must lower from ABSTRACT buffer shapes.
+
+    Regression for the 100k-utterance corpus rehearsal failure: the kernel
+    was jitted as a method with self static, so the whole corpus buffer was
+    traced into the program as a constant — a ~1.4 GB HLO that wedged the
+    remote-compile service.  eval_shape over ShapeDtypeStructs is only
+    possible when the buffers are runtime parameters: a closed-over
+    concrete array would make the abstract call a shape/content mismatch
+    (and would not scale with the fake 30M-row corpus below, which is never
+    materialized)."""
+    from pkr_tpu.data.device_cache import _sample_cache
+
+    s = jax.ShapeDtypeStruct
+    big_rows = 30_000_000  # a 100k-utt corpus scale; never materialized
+    out = jax.eval_shape(
+        lambda *a: _sample_cache(*a, 6),
+        s((big_rows, 4), jnp.uint8), s((100_000, 4, 4), jnp.float32),
+        s((100_000,), jnp.int32), s((100_000,), jnp.int32),
+        s((3,), jnp.int32), jax.eval_shape(lambda: jax.random.key(0)))
+    assert out.shape == (3, 4, 6)
