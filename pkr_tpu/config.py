@@ -68,6 +68,10 @@ class EvalConfig:
     # -500000` — at the reference's 2.5M-utterance augmented scale a full
     # extraction per experiment is millions of needless forwards
     cohort_subset: int = 0
+    # 'auto' ships CM-compressed features to the device as uint8 codes and
+    # dequantizes there (values identical, 4x less H2D traffic); 'f32'
+    # forces the float transfer path
+    transport: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -93,6 +93,19 @@ class FeatureSource:
                 self._dims[i] = kaldi_ark.read_mat_dims(self.rx[i])
         return self._dims[i]
 
+    def read_codes(self, i: int):
+        """Raw CM format-1 payload for quantized device transport:
+        (codes (T, F) uint8, pct (4, F) f32), or None when the entry is a
+        different format (then the caller reads float32 via read()).  The
+        result is value-lossless: dequantizing the codes reproduces read(i)
+        bit-for-bit (io.kaldi_ark.read_mat_codes)."""
+        if self._cache is not None:
+            return None
+        try:
+            return kaldi_ark.read_mat_codes(self.rx[i])
+        except (IOError, ValueError):
+            return None
+
     def read_crop_t(self, i: int, row_start: int, n_rows: int,
                     out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """(F, n_rows) crop via the native decoder; None if unavailable."""
@@ -236,9 +249,13 @@ def bucket_lengths(lengths: Sequence[int], quantum: int = 100,
 class EvalLoader:
     """Length-bucketed, padded, masked batches for embedding extraction.
 
-    Yields (utt_keys, feats (B, F, Tb), mask (B, Tb)) with all items in a
-    batch sharing bucket length Tb.  Every utterance appears exactly once —
-    no DistributedSampler padding, no dedup pass.
+    Yields (utt_keys, payload, mask (B, Tb)) with all items in a batch
+    sharing bucket length Tb.  payload is EITHER feats (B, F, Tb) float32
+    OR — for CompressedMatrix format-1 entries under the default
+    transport='auto' — a (codes (B, Tb, F) uint8, pct (B, 4, F) float32)
+    tuple for on-device dequantization (eval.extract handles both; pass
+    transport='f32' for the plain ndarray contract).  Every utterance
+    appears exactly once — no DistributedSampler padding, no dedup pass.
 
     long_mode handles utterances beyond max_len (the reference simply ran
     arbitrary lengths through dynamic shapes — datasets.py:185-189):
@@ -256,7 +273,24 @@ class EvalLoader:
                  chunk_size: int = -1, long_mode: str = "truncate",
                  seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 pad_to_batch: bool = True):
+                 pad_to_batch: bool = True, transport: str = "auto"):
+        # transport: 'auto' ships CompressedMatrix format-1 entries as raw
+        # uint8 codes + percentile tables and dequantizes ON DEVICE (4× less
+        # host→device traffic than f32, 2× less than the bf16 cast; values
+        # bit-identical — io.kaldi_ark.read_mat_codes); 'f32' forces the
+        # float path.  Non-CM entries always go f32; mixed corpora emit the
+        # two payload kinds in separate buckets.
+        if transport not in ("auto", "f32"):  # raise survives python -O
+            raise ValueError(f"transport must be 'auto' or 'f32': {transport!r}")
+        self.transport = transport
+        # pipe-probe memo for 'auto': a codes miss on a PIPE rxspecifier ran
+        # the whole pipe for nothing and read() must rerun it, so one pipe
+        # miss disables further probes.  Plain path:offset misses are two
+        # cheap preads — keep probing those per entry, because the repo's
+        # own encoder mixes formats (kAutomaticMethod emits CM2 for <=8-row
+        # matrices amid CM1 neighbours) and a corpus-wide latch would
+        # silently drop quantized transport for the whole pass.
+        self._pipe_codes_dead = False
         self.source = source
         self.batch_size = batch_size
         self.quantum = quantum
@@ -271,8 +305,25 @@ class EvalLoader:
         # rows because `keys` keeps its true length.
         self.pad_to_batch = pad_to_batch
 
+    def _read_payload(self, i: int):
+        """(mat_rows, pct_or_None): rows are (T, F) float32 OR (T, F) uint8
+        codes with a (4, F) pct table.  Row slicing (crops, truncation,
+        segmenting) is format-agnostic, so everything downstream of this
+        read treats the two identically."""
+        reader = getattr(self.source, "read_codes", None)
+        if self.transport == "auto" and reader is not None:
+            rx = getattr(self.source, "rx", None)
+            is_pipe = bool(rx) and rx[i].rstrip().endswith("|")
+            if not (is_pipe and self._pipe_codes_dead):
+                cp = reader(i)
+                if cp is not None:
+                    return cp
+                if is_pipe:
+                    self._pipe_codes_dead = True
+        return self.source.read(i), None
+
     def _segments(self, i: int):
-        mat = self.source.read(i)
+        mat, pct = self._read_payload(i)
         if self.chunk_size > 0:
             # random contiguous crop, like the reference EmbeddingDataset
             # with chunk_size > 0 (datasets.py:185-187)
@@ -282,35 +333,48 @@ class EvalLoader:
         utt = self.source.utts[i]
         if (self.max_len is None or len(mat) <= self.max_len
                 or self.long_mode == "truncate"):
-            yield utt, mat[: self.max_len] if self.max_len else mat
+            yield utt, (mat[: self.max_len] if self.max_len else mat), pct
             return
         n_seg = -(-len(mat) // self.max_len)
         for k in range(n_seg):
             seg = mat[k * self.max_len:(k + 1) * self.max_len]
-            yield f"{utt}{self.SEG_SEP}{k}", seg
+            yield f"{utt}{self.SEG_SEP}{k}", seg, pct
 
-    def __iter__(self) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
-        # read lazily: one pass grouping by bucket
-        buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+    def __iter__(self) -> Iterator[Tuple[List[str], object, np.ndarray]]:
+        # read lazily: one pass grouping by (bucket length, payload kind)
+        buckets: Dict[Tuple[int, bool], List[tuple]] = {}
         for i in self.my_ids:
-            for key, mat in self._segments(i):
+            for key, mat, pct in self._segments(i):
                 L = int(bucket_lengths([len(mat)], self.quantum, self.max_len)[0])
-                buckets.setdefault(L, []).append((key, mat[: L]))
-                if len(buckets[L]) == self.batch_size:
-                    yield self._emit(L, buckets.pop(L))
-        for L in sorted(buckets):
-            yield self._emit(L, buckets[L])
+                bk = (L, pct is not None)
+                buckets.setdefault(bk, []).append((key, mat[: L], pct))
+                if len(buckets[bk]) == self.batch_size:
+                    yield self._emit(L, buckets.pop(bk))
+        for bk in sorted(buckets):
+            yield self._emit(bk[0], buckets[bk])
 
     def _emit(self, L: int, items):
         B = len(items)
         rows = self.batch_size if (self.pad_to_batch
                                    and B < self.batch_size) else B
         F = items[0][1].shape[1]
-        feats = np.zeros((rows, F, L), np.float32)
+        quantized = items[0][2] is not None
         mask = np.zeros((rows, L), bool)
         mask[B:] = True  # pad rows: full mask over zero features, so the
         keys = []        # masked pooling never divides by a zero count
-        for b, (key, mat) in enumerate(items):
+        if quantized:
+            # (B, T, F) codes + (B, 4, F) tables; zero pct rows dequantize
+            # to exact zeros, matching the f32 zero padding
+            codes = np.zeros((rows, L, F), np.uint8)
+            pcts = np.zeros((rows, 4, F), np.float32)
+            for b, (key, cod, pct) in enumerate(items):
+                codes[b, : len(cod)] = cod
+                pcts[b] = pct
+                mask[b, : len(cod)] = True
+                keys.append(key)
+            return keys, (codes, pcts), mask
+        feats = np.zeros((rows, F, L), np.float32)
+        for b, (key, mat, _) in enumerate(items):
             feats[b, :, : len(mat)] = mat.T
             mask[b, : len(mat)] = True
             keys.append(key)

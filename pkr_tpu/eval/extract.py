@@ -24,6 +24,23 @@ def _embed_jit(model, variables, feats, mask):
                        method=SpeakerModel.embed)
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _embed_codes_jit(model, variables, codes, pct, mask):
+    """Quantized-transport extraction: dequantize CM codes ON DEVICE, then
+    embed — one program, so the f32 features never cross the host↔device
+    link (4× fewer feature bytes than f32, 2× fewer than the bf16 cast).
+    Padded frames are re-zeroed after dequantization (code 0 decodes to the
+    column's p0, not 0.0) so the values entering the stem conv are
+    bit-identical to the float path's zero padding."""
+    from pkr_tpu.data.device_cache import dequantize
+
+    feats = dequantize(codes, pct)             # (B, T, F) f32
+    feats = feats * mask[:, :, None]           # exact zero pads for the stem
+    feats = jnp.transpose(feats, (0, 2, 1))    # (B, F, T), like the loader
+    return model.apply(variables, feats, mask, train=False,
+                       method=SpeakerModel.embed)
+
+
 def make_embed_fn(model: SpeakerModel, variables, mesh=None):
     """Returns (feats (B, F, T), mask (B, T)) → (B, emb_dim).
 
@@ -36,7 +53,9 @@ def make_embed_fn(model: SpeakerModel, variables, mesh=None):
     multi-chip inference; ragged final batches are padded to the axis size
     and the pad rows dropped)."""
     if mesh is None:
-        def embed(feats, mask):
+        def embed(feats, mask, pct=None):
+            if pct is not None:
+                return _embed_codes_jit(model, variables, feats, pct, mask)
             return _embed_jit(model, variables, feats, mask)
 
         return embed
@@ -46,7 +65,7 @@ def make_embed_fn(model: SpeakerModel, variables, mesh=None):
     batch_shard = NamedSharding(mesh, P("data"))
     n_data = mesh.devices.shape[0]
 
-    def embed(feats, mask):
+    def embed(feats, mask, pct=None):
         b = feats.shape[0]
         pad = (-b) % n_data
         if pad:
@@ -54,9 +73,16 @@ def make_embed_fn(model: SpeakerModel, variables, mesh=None):
                 [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
             mask = jnp.concatenate(
                 [mask, jnp.ones((pad,) + mask.shape[1:], mask.dtype)])
+            if pct is not None:
+                pct = jnp.concatenate(
+                    [pct, jnp.zeros((pad,) + pct.shape[1:], pct.dtype)])
         feats = jax.device_put(feats, batch_shard)
         mask = jax.device_put(mask, batch_shard)
-        out = _embed_jit(model, variables, feats, mask)
+        if pct is not None:
+            pct = jax.device_put(pct, batch_shard)
+            out = _embed_codes_jit(model, variables, feats, pct, mask)
+        else:
+            out = _embed_jit(model, variables, feats, mask)
         return out[:b]
 
     return embed
@@ -91,7 +117,13 @@ def extract_embeddings(model: SpeakerModel, variables, loader, mesh=None
 
     pending: list[Tuple[list, jax.Array]] = []
     for keys, feats, mask in loader:
-        emb = embed(jnp.asarray(feats, dtype=xfer_dtype), jnp.asarray(mask))
+        if isinstance(feats, tuple):  # quantized transport (codes, pct)
+            codes, pct = feats
+            emb = embed(jnp.asarray(codes), jnp.asarray(mask),
+                        pct=jnp.asarray(pct))
+        else:
+            emb = embed(jnp.asarray(feats, dtype=xfer_dtype),
+                        jnp.asarray(mask))
         pending.append((keys, emb))  # don't block: overlap host IO with device
         if len(pending) >= 4:
             k, e = pending.pop(0)
@@ -111,7 +143,11 @@ def warmup_buckets(model: SpeakerModel, variables, feat_dim: int = 40,
     for amortizing the remote-compile latency of fresh environments).
     Pass the same `mesh` the extraction will use — sharded inputs compile
     different executables, so an unsharded warmup would not help a
-    multi-chip pass.  Returns the number of programs compiled."""
+    multi-chip pass.  Both transports are warmed: quantized-payload batches
+    (EvalLoader transport='auto' on CM arks) dispatch _embed_codes_jit,
+    a different input signature that would otherwise pay its own
+    first-use compile per bucket.  Returns the number of programs
+    compiled."""
     embed = make_embed_fn(model, variables, mesh=mesh)
     xfer = jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32
     n = 0
@@ -119,5 +155,8 @@ def warmup_buckets(model: SpeakerModel, variables, feat_dim: int = 40,
         feats = jnp.zeros((batch_size, feat_dim, L), xfer)
         mask = jnp.ones((batch_size, L), bool)
         jax.block_until_ready(embed(feats, mask))
-        n += 1
+        codes = jnp.zeros((batch_size, L, feat_dim), jnp.uint8)
+        pct = jnp.zeros((batch_size, 4, feat_dim), jnp.float32)
+        jax.block_until_ready(embed(codes, mask, pct=pct))
+        n += 2
     return n

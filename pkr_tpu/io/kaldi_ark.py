@@ -350,6 +350,48 @@ def read_mat_dims(file_or_fd) -> Tuple[int, int]:
             fd.close()
 
 
+def read_mat_codes(file_or_fd):
+    """Raw CompressedMatrix format-1 payload WITHOUT dequantizing:
+    (codes (rows, cols) uint8 row-major, pct (4, cols) float32), or None if
+    the entry is not binary 'CM ' format 1 (FM/DM/CM2/CM3/ascii).
+
+    This is the quantized-transport read for embedding extraction: shipping
+    the uint8 codes + tiny percentile tables to the device and running
+    ``data.device_cache.dequantize`` there (the same 3-piece f32 formula as
+    ``_chars_to_floats``, so values are bit-identical to read_mat) moves
+    4× fewer feature bytes across the host↔device link than float32 and
+    2× fewer than the bf16 transfer cast.  The reference has no analog —
+    its decode.py reads fully-decoded float tensors (kaldi_io.py:427-460).
+    """
+    fd = open_or_fd(file_or_fd)
+    try:
+        head = fd.read(2)
+        if head != b"\x00B":
+            return None
+        token = fd.read(3)
+        if token != b"CM ":
+            return None
+        data, pct = _read_cm1_payload(fd)
+        return np.ascontiguousarray(data.T), np.ascontiguousarray(pct.T)
+    finally:
+        if fd is not file_or_fd:
+            fd.close()
+
+
+def _read_cm1_payload(fd: BinaryIO) -> Tuple[np.ndarray, np.ndarray]:
+    """Format-1 payload after the 'CM ' token: (data (cols, rows) uint8,
+    pct (cols, 4) f32).  The ONLY format-1 header/percentile parser —
+    shared by decompress_matrix and read_mat_codes so the bit-identical
+    guarantee between the float and quantized-transport reads can never
+    drift (same factoring rationale as cm_quantize_columns)."""
+    gmin, grange, rows, cols = struct.unpack("<ffii", fd.read(16))
+    headers = np.frombuffer(fd.read(8 * cols), dtype="<u2").reshape(cols, 4)
+    pct = gmin + grange * _UINT16_SCALE * headers.astype(np.float32)
+    data = np.frombuffer(fd.read(rows * cols),
+                         dtype=np.uint8).reshape(cols, rows)
+    return data, pct
+
+
 def _read_mat_binary(fd: BinaryIO) -> np.ndarray:
     token = fd.read(3)
     if token.startswith(b"CM"):
@@ -533,10 +575,7 @@ def decompress_matrix(fd: BinaryIO, token: bytes = b"CM ") -> np.ndarray:
                 * data.astype(np.float32))
     if token != b"CM ":
         raise ValueError(f"unsupported compressed format {token!r}")
-    gmin, grange, rows, cols = struct.unpack("<ffii", fd.read(16))
-    headers = np.frombuffer(fd.read(8 * cols), dtype="<u2").reshape(cols, 4)
-    pct = gmin + grange * _UINT16_SCALE * headers.astype(np.float32)  # (cols, 4)
-    data = np.frombuffer(fd.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
+    data, pct = _read_cm1_payload(fd)
     return _chars_to_floats(data, pct).T.copy()
 
 

@@ -637,6 +637,7 @@ def run_extract(cfg, feat_dir: str, exp_dir: str, scp: str, out_name: str,
                         quantum=cfg.eval.bucket_quantum, max_len=cfg.eval.max_len,
                         chunk_size=cfg.eval.chunk_size,
                         long_mode=cfg.eval.long_mode,
+                        transport=cfg.eval.transport,
                         process_index=pi, process_count=pc)
     mesh = None
     if jax.local_device_count() > 1:

@@ -326,3 +326,40 @@ def test_compress_auto_method_matches_kaldi(tmp_path):
     np.testing.assert_allclose(got["short"], short,
                                atol=1.1 * np.ptp(short) / 65535)
     np.testing.assert_allclose(got["tall"], tall, atol=0.03 * np.ptp(tall))
+
+
+def test_read_mat_codes_roundtrip(tmp_path):
+    """Quantized-transport read: dequantizing the raw codes reproduces
+    read_mat BIT-identically (same 3-piece f32 formula), and non-CM1
+    entries return None."""
+    from pkr_tpu.io.kaldi_ark import (read_mat, read_mat_codes, write_mat,
+                                      write_ark_scp, _chars_to_floats)
+
+    rng = np.random.default_rng(5)
+    ark, scp = str(tmp_path / "c.ark"), str(tmp_path / "c.scp")
+    with write_ark_scp(ark, scp, compress=True) as w:
+        w.write("a", rng.standard_normal((57, 12)).astype(np.float32))
+        w.write("b", (rng.standard_normal((200, 12)) * 40).astype(np.float32))
+    for _, rx in (ln.split(None, 1) for ln in open(scp).read().splitlines()):
+        codes, pct = read_mat_codes(rx)
+        assert codes.dtype == np.uint8 and pct.shape == (4, codes.shape[1])
+        dec = _chars_to_floats(codes.T, pct.T)  # (cols, rows)
+        np.testing.assert_array_equal(dec.T, read_mat(rx))
+    # and the DEVICE formula agrees with the host formula bit-for-bit
+    import jax.numpy as jnp
+    from pkr_tpu.data.device_cache import dequantize
+
+    codes, pct = read_mat_codes(rx)
+    dev = np.asarray(dequantize(jnp.asarray(codes), jnp.asarray(pct)))
+    np.testing.assert_array_equal(dev, read_mat(rx))
+
+    # uncompressed FM entry → None
+    fm = str(tmp_path / "f.ark")
+    write_mat(fm, rng.standard_normal((9, 4)).astype(np.float32), key="x")
+    off = fm + ":" + str(len("x") + 1)
+    assert read_mat_codes(off) is None
+    # CM2 (short matrix under automatic method) → None
+    cm2 = str(tmp_path / "s.ark")
+    write_mat(cm2, rng.standard_normal((4, 4)).astype(np.float32),
+              key="y", compress=True)
+    assert read_mat_codes(cm2 + ":" + str(len("y") + 1)) is None

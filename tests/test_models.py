@@ -228,7 +228,7 @@ def test_warmup_buckets():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)), train=False)
     n = warmup_buckets(model, variables, feat_dim=8, batch_size=2,
                        quantum=32, max_len=96)
-    assert n == 3
+    assert n == 6  # 3 bucket lengths x 2 transports (f32 + quantized)
 
 
 def test_extract_sharded_over_mesh():
@@ -294,3 +294,54 @@ def test_unknown_trunk_raises_value_error():
     with pytest.raises(ValueError, match="unknown trunk"):
         model.init(jax.random.key(0), jnp.zeros((1, 8, 16)),
                    jnp.zeros((1,), jnp.int32))
+
+
+def test_extraction_quantized_transport_matches_f32():
+    """EvalLoader transport='auto' on CompressedMatrix arks ships uint8
+    codes + percentile tables and dequantizes on device; the VALUES
+    entering the stem are bit-identical to the float path (codec test),
+    so embeddings must agree to the last-ulp accumulation reordering the
+    fused dequantize+conv program introduces (~1e-7 abs here).  A
+    mixed ark (one uncompressed entry) must split into per-kind buckets and
+    still cover every utterance."""
+    import tempfile, os
+
+    from pkr_tpu.data.loader import EvalLoader, FeatureSource
+    from pkr_tpu.eval.extract import extract_embeddings
+    from pkr_tpu.io import kaldi_ark
+
+    rng = np.random.default_rng(23)
+    d = tempfile.mkdtemp()
+    with kaldi_ark.write_ark_scp(os.path.join(d, "c.ark"),
+                                 os.path.join(d, "c.scp"), compress=True) as w:
+        for i in range(9):
+            w.write(f"u{i}", (rng.standard_normal((35 + 11 * i, 8)) * 3)
+                    .astype(np.float32))
+    model = SpeakerModel(spk_num=3, feat_dim=8, trunk="tiny_resnet",
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 16)),
+                           train=False)
+    mk = lambda t: EvalLoader(FeatureSource(os.path.join(d, "c.scp")),
+                              batch_size=4, quantum=32, max_len=96,
+                              long_mode="average", transport=t)
+    q = extract_embeddings(model, variables, mk("auto"))
+    f = extract_embeddings(model, variables, mk("f32"))
+    assert set(q) == set(f) == {f"u{i}" for i in range(9)}
+    for k in f:
+        np.testing.assert_allclose(q[k], f[k], rtol=1e-4, atol=1e-5)
+
+    # quantized batches really were emitted (payload is a (codes, pct) pair)
+    kinds = {type(feats) for _, feats, _ in mk("auto")}
+    assert tuple in kinds
+
+    # mixed ark: an FM entry rides the f32 bucket stream alongside CM codes
+    with kaldi_ark.write_ark_scp(os.path.join(d, "m.ark"),
+                                 os.path.join(d, "m.scp")) as w:
+        w.write("plain", rng.standard_normal((40, 8)).astype(np.float32))
+    lines = open(os.path.join(d, "c.scp")).read() + open(
+        os.path.join(d, "m.scp")).read()
+    open(os.path.join(d, "mix.scp"), "w").write(lines)
+    src = FeatureSource(os.path.join(d, "mix.scp"))
+    mixed = extract_embeddings(model, variables, EvalLoader(
+        src, batch_size=4, quantum=32, max_len=96, transport="auto"))
+    assert "plain" in mixed and len(mixed) == 10
