@@ -664,6 +664,16 @@ def compress_matrix(mat: np.ndarray, method: Optional[int] = None,
     hosts whose numpy lacks SIMD sorts."""
     mat = np.asarray(mat, dtype=np.float32)
     rows, cols = mat.shape
+    if mat.size and not np.isfinite(mat).all():
+        # Non-finite degradation contract (the native encoder refuses such
+        # input with -6 and lands here): quantization needs a finite range,
+        # so clamp ±inf to the finite min/max and map NaN to the finite min
+        # (code 0).  Without this, gmin/grange go NaN and every downstream
+        # subtract/cast is a RuntimeWarning with platform-defined output.
+        finite = mat[np.isfinite(mat)]
+        lo = float(finite.min()) if finite.size else 0.0
+        hi = float(finite.max()) if finite.size else 0.0
+        mat = np.nan_to_num(mat, nan=lo, posinf=hi, neginf=lo)
     if method is None:
         method = 2 if rows <= 8 else 1
     if use_native:

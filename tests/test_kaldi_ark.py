@@ -363,3 +363,32 @@ def test_read_mat_codes_roundtrip(tmp_path):
     write_mat(cm2, rng.standard_normal((4, 4)).astype(np.float32),
               key="y", compress=True)
     assert read_mat_codes(cm2 + ":" + str(len("y") + 1)) is None
+
+
+def test_compress_non_finite_is_deterministic_and_warning_free():
+    """Non-finite input takes the python codec (the native encoder refuses
+    it with rc=-6, tests/test_native.py): the degradation contract is NaN →
+    finite min, ±inf → clamped to the finite max/min, computed warning-free
+    — not NaN-poisoned headers with platform-defined float→uint casts."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((60, 8)).astype(np.float32)
+    m[17, 3] = np.nan
+    m[2, 1] = np.inf
+    m[9, 0] = -np.inf
+    fin = m[np.isfinite(m)]
+    lo, hi = float(fin.min()), float(fin.max())
+    step = (hi - lo) / 50 + 1e-3
+    for method, tok in ((1, b"CM "), (2, b"CM2"), (3, b"CM3")):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            blob = ka.compress_matrix(m, method=method)
+            assert blob == ka.compress_matrix(m, method=method)
+        got = ka.decompress_matrix(_io.BytesIO(blob[3:]), tok)
+        assert np.isfinite(got).all()
+        assert got.min() >= lo - step and got.max() <= hi + step
+        if method in (2, 3):  # global linear map: per-element check
+            assert abs(got[17, 3] - lo) <= step
+            assert abs(got[2, 1] - hi) <= step
+            assert abs(got[9, 0] - lo) <= step
