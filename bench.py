@@ -300,10 +300,14 @@ def _quiesce_pids():
     registry is one pid per line (the same file the round's tunnel watchdog
     uses); a missing/empty file is a no-op, and so is a registry older than
     24h (a stale file from a previous session could name reused pids of
-    unrelated processes).  Returns the pids stopped so the caller can
-    resume exactly those.  Idempotent — callers re-issue it DURING long
-    attempts because an external supervisor on some hosts SIGCONTs
-    processes that stay stopped for minutes."""
+    unrelated processes).  Each registered pid is stopped together with its
+    live descendants: registries naturally hold the pid of a nohup'd shell
+    wrapper while the CPU burner is a child, and SIGSTOP does not propagate.
+    Children are stopped before their parent so a still-running parent
+    cannot respawn or reap mid-quiesce.  Returns the pids stopped so the
+    caller can resume exactly those.  Idempotent — callers re-issue it
+    DURING long attempts because an external supervisor on some hosts
+    SIGCONTs processes that stay stopped for minutes."""
     path = os.environ.get("PKR_BENCH_QUIET_PIDS", "/tmp/quiet_stop.pids")
     stopped = []
     try:
@@ -312,19 +316,54 @@ def _quiesce_pids():
         lines = open(path).read().split()
     except OSError:
         return stopped
+    roots = []
     for tok in lines:
         try:
             pid = int(tok)
         except ValueError:
             continue
-        if pid in (os.getpid(), os.getppid()):
-            continue
-        try:
-            os.kill(pid, signal.SIGSTOP)
-            stopped.append(pid)
-        except (OSError, ProcessLookupError):
-            pass
+        if pid not in (os.getpid(), os.getppid()):
+            roots.append(pid)
+    self_pid = os.getpid()
+    for pid in roots:
+        for target in _descendants_last(pid):
+            if target == self_pid or target in stopped:
+                continue
+            try:
+                os.kill(target, signal.SIGSTOP)
+                stopped.append(target)
+            except (OSError, ProcessLookupError):
+                pass
     return stopped
+
+
+def _descendants_last(root: int):
+    """root plus its transitive live children, deepest first (children
+    before parents), from one snapshot of /proc ppid links.  On any /proc
+    read failure, degrades to [root]."""
+    kids = {}
+    try:
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as f:
+                    raw = f.read()
+                ppid = int(raw.rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                continue
+            kids.setdefault(ppid, []).append(int(ent))
+    except OSError:
+        return [root]
+    order, stack, seen = [], [root], {root}
+    while stack:
+        pid = stack.pop()
+        order.append(pid)
+        for child in kids.get(pid, ()):
+            if child not in seen:
+                seen.add(child)
+                stack.append(child)
+    return order[::-1]
 
 
 def _resume_pids(pids) -> None:

@@ -12,6 +12,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
@@ -127,6 +128,53 @@ def test_bench_quiesces_registered_pids(tmp_path):
     finally:
         sleeper.kill()
         sleeper.wait()
+
+
+def test_bench_quiesces_children_of_registered_pids(tmp_path):
+    """Registering a wrapper pid must also stop its descendants: the round's
+    background studies are launched via nohup'd shells, so the registry
+    holds the shell's pid while the CPU burner is a child — and SIGSTOP does
+    not propagate (the exact shape that would have left the parity worker
+    saturating the core during an r5 TPU window)."""
+    childfile = tmp_path / "child.pid"
+    wrapper = subprocess.Popen(
+        [sys.executable, "-c",
+         "import subprocess, sys, time\n"
+         "p = subprocess.Popen([sys.executable, '-c',"
+         " 'import time; time.sleep(120)'])\n"
+         f"open({str(childfile)!r}, 'w').write(str(p.pid))\n"
+         "p.wait()\n"])
+    for _ in range(100):
+        if childfile.exists() and childfile.read_text():
+            break
+        time.sleep(0.05)
+    child_pid = int(childfile.read_text())
+    pidfile = tmp_path / "quiet.pids"
+    pidfile.write_text(f"{wrapper.pid}\n")  # wrapper only, NOT the child
+
+    def state(pid):
+        raw = open(f"/proc/{pid}/stat").read()
+        return raw.rsplit(")", 1)[1].split()[0]
+
+    snippet = (f"st = open('/proc/{child_pid}/stat').read()"
+               ".rsplit(')', 1)[1].split()[0]; "
+               "print('PKR_EXTRACT [100.0]' if st == 'T' "
+               "else 'PKR_EXTRACT [0.0]', flush=True)")
+    try:
+        res = _run_bench({
+            "PKR_BENCH_CHILD": f'{sys.executable} -c "{snippet}"',
+            "PKR_BENCH_QUIET_PIDS": str(pidfile),
+        })
+        assert res["value"] == 100.0  # the CHILD was stopped mid-attempt
+        assert state(child_pid) in ("S", "R")  # and resumed afterwards
+        assert state(wrapper.pid) in ("S", "R")
+    finally:
+        try:
+            os.kill(child_pid, 9)
+        except ProcessLookupError:
+            pass
+        wrapper.kill()
+        wrapper.wait()
 
 
 def test_dryrun_survives_hanging_probe(monkeypatch):
