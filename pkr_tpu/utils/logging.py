@@ -78,12 +78,25 @@ def profile_trace(log_dir: Optional[str]):
         jax.profiler.stop_trace()
 
 
-def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+def enable_compile_cache(path: str = None) -> None:
     """Persistent XLA compile cache (env-var spellings are ignored by this
     jax build, so set the config keys).  One home for the knob — bench.py,
-    the graft entry and every tools/ script call this."""
+    the graft entry and every tools/ script call this.
+
+    The default lives under the repo, not /tmp: this host's /tmp is wiped
+    on every VM restart, and a cold cache sends first compiles through the
+    remote helper (1-5 min each) — enough to blow bench.py's per-attempt
+    watchdog right when the driver measures.  Override with
+    PKR_COMPILE_CACHE."""
+    import os
+
     import jax
 
+    if path is None:
+        path = os.environ.get(
+            "PKR_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
