@@ -460,9 +460,20 @@ def main():
     quiet_wait = float(env("PKR_BENCH_QUIET_WAIT", "120"))
     retry_sleep = float(env("PKR_BENCH_RETRY_SLEEP", "20"))
 
+    # The tunnel has a second failure mode besides the outright hang: it
+    # stays responsive but every dispatch crawls (observed live 2026-08-19:
+    # jax.devices() fine, 1k matmul 12x slow, bench median 520 emb/s vs the
+    # committed healthy 6379).  A single "successful" attempt in that state
+    # would record a number ~12x below reality, so an attempt whose median
+    # lands under a quarter of the committed healthy median is treated like
+    # a failed attempt (retry after a recovery sleep) — but its numbers are
+    # kept and the BEST attempt is reported, annotated, if none recovers.
+    degraded_floor = float(env("PKR_BENCH_DEGRADED_FLOOR",
+                               str(0.25 * 6379.45)))  # bench_r5_sanity.json
     deadline = time.time() + budget
     load1 = os.getloadavg()[0]  # host load when the measure starts
     extract = train = None
+    best = None  # (median, extract, train) across degraded attempts
     notes = []
     attempts = 0
     for attempt in range(1, max_attempts + 1):
@@ -484,14 +495,25 @@ def main():
         finally:
             _resume_pids(quiesced)
         attempts = attempt
-        notes.append(f"attempt {attempt}: {note}")
         if extract is not None:
-            break
+            med = float(np.median(extract))
+            if best is None or med > best[0]:
+                best = (med, extract, train)
+            if med >= degraded_floor:
+                notes.append(f"attempt {attempt}: {note}")
+                break
+            notes.append(
+                f"attempt {attempt}: {note} (degraded chip: median "
+                f"{med:.0f} emb/s < floor {degraded_floor:.0f})")
+        else:
+            notes.append(f"attempt {attempt}: {note}")
         if time.time() >= deadline:
             notes.append("budget exhausted")
             break
         if attempt < max_attempts:
             time.sleep(min(retry_sleep, max(0.0, deadline - time.time())))
+    if best is not None:
+        _, extract, train = best
 
     result = {
         "metric": "wav→fbank→ResNet34 embedding throughput",
@@ -518,6 +540,12 @@ def main():
         "value_best": round(float(max(extract)), 2),
         "n_windows": len(extract),
     })
+    if value < degraded_floor:
+        # the number is real but the chip never left its degraded state —
+        # flag it so round-over-round comparisons don't read it as a code
+        # regression (the committed healthy medians are the reference)
+        result["suspect_degraded_chip"] = True
+        result["healthy_median_ref"] = 6379.45
     if train is not None:
         tq1, tq3 = np.percentile(train["rates"], (25, 75))
         result.update({"train_ex_per_s": round(train["ex_s"], 1),

@@ -32,6 +32,9 @@ def _run_bench(extra_env, timeout=240):
         "PKR_BENCH_RETRY_SLEEP": "0",
         # hermetic: never touch the host's real pid registry from tests
         "PKR_BENCH_QUIET_PIDS": "/nonexistent/quiet.pids",
+        # fake children report tiny emb/s values; disable the degraded-chip
+        # floor by default so only the dedicated test exercises it
+        "PKR_BENCH_DEGRADED_FLOOR": "0",
         **extra_env,
     })
     out = subprocess.run([sys.executable, BENCH, "--quick"], env=env,
@@ -81,6 +84,43 @@ def test_bench_healthy_child_full_json():
     assert res["train_ex_per_s"] == 55.0 and res["train_mfu_pct"] == 12.5
     assert "error" not in res and "train_error" not in res
     assert res["bench_attempts"] == 1
+
+
+def test_bench_degraded_chip_retries_and_annotates(tmp_path):
+    """A responsive-but-crawling tunnel (observed live: jax.devices() fine,
+    every dispatch ~12x slow) must not be reported as a clean measurement:
+    attempts whose median sits under the floor are retried, the best one is
+    kept, and the JSON is flagged suspect_degraded_chip."""
+    counter = tmp_path / "n"
+    script = tmp_path / "slowchip.py"
+    script.write_text(
+        "import os\n"
+        f"c = {str(counter)!r}\n"
+        "n = int(open(c).read()) if os.path.exists(c) else 0\n"
+        "open(c, 'w').write(str(n + 1))\n"
+        # attempt medians 100, 200: both below the 500 floor; best wins
+        "v = 100.0 * (n + 1)\n"
+        "print('PKR_EXTRACT [%s, %s, %s]' % (v - 10, v, v + 10), flush=True)\n")
+    res = _run_bench({
+        "PKR_BENCH_CHILD": f"{sys.executable} {script}",
+        "PKR_BENCH_DEGRADED_FLOOR": "500",
+    })
+    assert res["bench_attempts"] == 2  # retried past the first "success"
+    assert res["value"] == 200.0       # best attempt kept, not the first
+    assert res["suspect_degraded_chip"] is True
+    assert res["healthy_median_ref"] == 6379.45
+    assert "degraded chip" in res["bench_notes"]
+    assert "error" not in res
+
+
+def test_bench_degraded_floor_not_tripped_by_healthy_value():
+    snippet = ("print('PKR_EXTRACT [600.0, 610.0, 590.0]', flush=True)")
+    res = _run_bench({
+        "PKR_BENCH_CHILD": f'{sys.executable} -c "{snippet}"',
+        "PKR_BENCH_DEGRADED_FLOOR": "500",
+    })
+    assert res["bench_attempts"] == 1 and res["value"] == 600.0
+    assert "suspect_degraded_chip" not in res
 
 
 def test_bench_failing_then_ok_child_retries(tmp_path):
